@@ -1,0 +1,116 @@
+"""Checkpoint conversion: torch safetensors -> JAX pytree.
+
+The released DiT checkpoints are torch state dicts (814 tensors,
+2,007,702,848 params — SURVEY.md Appendix A; loaded by the reference at
+kandinsky/utils.py:115-116). This module maps them bit-faithfully onto
+the stacked pytree layout of models/dit.py:
+
+  * Linear ``weight`` tensors are transposed torch (out, in) ->
+    JAX (in, out);
+  * per-block tensors ``{text,visual}_transformer_blocks.{i}.…`` are
+    stacked along a new leading block axis (for lax.scan);
+  * everything else passes through unchanged.
+
+RoPE tables are non-persistent buffers in the reference (nn.py:49-50,
+107,129) and never appear in checkpoints; we recompute them.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kandinsky5_tpu.config import DiTParams
+
+# 2-D '.weight' tensors that are NOT linear layers (none in this model —
+# LayerNorm/RMSNorm weights are 1-D), so: transpose every 2-D weight.
+_BLOCK_RE = re.compile(r"^(text_transformer_blocks|visual_transformer_blocks)\.(\d+)\.(.+)$")
+
+
+def _insert(tree: dict, path: str, value):
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def convert_dit_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    cfg: DiTParams,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Convert a torch DiT state dict (numpy arrays) to the model pytree."""
+    tree: dict = {}
+    blocks: Dict[str, Dict[int, dict]] = {
+        "text_transformer_blocks": {},
+        "visual_transformer_blocks": {},
+    }
+    expected_blocks = {
+        "text_transformer_blocks": cfg.num_text_blocks,
+        "visual_transformer_blocks": cfg.num_visual_blocks,
+    }
+
+    for key, value in state_dict.items():
+        arr = np.asarray(value)
+        if key.endswith(".weight") and arr.ndim == 2:
+            arr = arr.T  # torch (out, in) -> JAX (in, out)
+        m = _BLOCK_RE.match(key)
+        if m:
+            coll, idx, rest = m.group(1), int(m.group(2)), m.group(3)
+            _insert(blocks[coll].setdefault(idx, {}), rest, arr)
+        else:
+            _insert(tree, key, arr)
+
+    for coll, by_idx in blocks.items():
+        n = expected_blocks[coll]
+        assert sorted(by_idx) == list(range(n)), (
+            f"{coll}: got blocks {sorted(by_idx)}, expected 0..{n - 1}"
+        )
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *[by_idx[i] for i in range(n)])
+        tree[coll] = stacked
+
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), tree)
+
+
+def load_dit_checkpoint(path: str, cfg: DiTParams, dtype=jnp.bfloat16) -> dict:
+    """Load a released ``.safetensors`` DiT checkpoint into the pytree."""
+    from safetensors.numpy import load_file
+
+    return convert_dit_state_dict(load_file(path), cfg, dtype=dtype)
+
+
+def dit_params_to_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse conversion (JAX pytree -> torch-layout state dict), used for
+    checkpoint round-trip tests and for exporting."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(v, f"{prefix}.{k}" if prefix else k)
+            return
+        arr = np.asarray(node)
+        out[prefix] = arr
+
+    flat: dict = {}
+    for k, v in params.items():
+        if k in ("text_transformer_blocks", "visual_transformer_blocks"):
+            leaves, treedef = jax.tree.flatten(v)
+            n = leaves[0].shape[0]
+            for i in range(n):
+                sub = jax.tree.unflatten(treedef, [l[i] for l in leaves])
+                flat[f"{k}.{i}"] = sub
+        else:
+            flat[k] = v
+    for k, v in flat.items():
+        walk(v, k)
+
+    for key in list(out):
+        if key.endswith(".weight") and out[key].ndim == 2:
+            out[key] = out[key].T
+    return out

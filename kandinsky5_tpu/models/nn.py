@@ -1,0 +1,235 @@
+"""Functional JAX primitives for the Kandinsky-5 DiT.
+
+TPU-native re-design of the reference building blocks
+(/root/reference/kandinsky/models/nn.py). Parameters are plain pytrees
+(nested dicts keyed like the torch module tree, with Linear weights stored
+in JAX ``(in, out)`` convention) so checkpoint conversion is a transpose.
+
+Mixed-precision policy (matches the reference's autocast placement):
+  * matmuls / attention: bfloat16 on the MXU
+  * LayerNorm / RMSNorm / modulation / time embedding / RoPE: float32
+    (reference: nn.py:25-40 apply_* helpers, nn.py:56,109,131,162 autocasts)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torch.nn.LayerNorm default eps (reference uses default-eps LayerNorms).
+LAYERNORM_EPS = 1e-5
+# torch.nn.RMSNorm(eps=None) resolves to float32 machine eps because the
+# reference casts q/k to float32 before the norm (nn.py:193-197).
+RMSNORM_EPS = float(np.finfo(np.float32).eps)
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Elementary layers
+# ---------------------------------------------------------------------------
+
+def linear(p, x: Array, *, dtype=None) -> Array:
+    """y = x @ W (+ b). W stored (in, out)."""
+    w = p["weight"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype if dtype is None else dtype)
+
+
+def layer_norm(x: Array, *, weight=None, bias=None, eps=LAYERNORM_EPS) -> Array:
+    """LayerNorm over the last axis in float32 (optionally affine)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
+def rms_norm(x: Array, weight: Array, eps=RMSNORM_EPS) -> Array:
+    """RMSNorm in float32 (reference QK-norm: nn.py:175-176, 193-197)."""
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return xf * scale * weight.astype(jnp.float32)
+
+
+def apply_scale_shift_norm(x: Array, scale: Array, shift: Array,
+                           out_dtype=None) -> Array:
+    """AdaLN: LayerNorm(x) * (scale + 1) + shift, fp32 compute, output in
+    x.dtype (reference nn.py:25-28; bf16 in production, fp32 in parity
+    tests — precision follows the parameter dtype throughout)."""
+    y = layer_norm(x)
+    y = y * (scale.astype(jnp.float32) + 1.0) + shift.astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)
+
+
+def apply_gate_sum(x: Array, out: Array, gate: Array,
+                   out_dtype=None) -> Array:
+    """x + gate * out in fp32 -> x.dtype (reference nn.py:30-33)."""
+    y = x.astype(jnp.float32) + gate.astype(jnp.float32) * out.astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings
+# ---------------------------------------------------------------------------
+
+def get_freqs(dim: int, max_period: float = 10000.0) -> np.ndarray:
+    """exp(-log(max_period) * arange(dim) / dim), float32 on host
+    (reference models/utils.py:21-28)."""
+    return np.exp(
+        -math.log(max_period) * np.arange(dim, dtype=np.float32) / dim
+    ).astype(np.float32)
+
+
+def time_embeddings(p, time: Array, model_dim: int,
+                    max_period: float = 10000.0) -> Array:
+    """Sinusoidal timestep embedding -> MLP(SiLU), all float32
+    (reference TimeEmbeddings, nn.py:43-61)."""
+    freqs = jnp.asarray(get_freqs(model_dim // 2, max_period))
+    args = jnp.outer(time.astype(jnp.float32), freqs)
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    h = linear(p["in_layer"], emb, dtype=jnp.float32)
+    h = jax.nn.silu(h)
+    return linear(p["out_layer"], h, dtype=jnp.float32)
+
+
+def text_embeddings(p, x: Array, out_dtype=None) -> Array:
+    """Linear + affine LayerNorm (reference TextEmbeddings, nn.py:64-72).
+    Output dtype follows the parameter dtype."""
+    out_dtype = out_dtype or p["in_layer"]["weight"].dtype
+    h = linear(p["in_layer"], x.astype(out_dtype))
+    h = layer_norm(h, weight=p["norm"]["weight"], bias=p["norm"]["bias"])
+    return h.astype(out_dtype)
+
+
+def patchify(x: Array, patch_size: Sequence[int]) -> Array:
+    """(B, T, H, W, C) -> (B, T/p0, H/p1, W/p2, p0*p1*p2*C) with inner order
+    (p0, p1, p2, C) — exactly the reference VisualEmbeddings view/permute
+    (nn.py:81-96)."""
+    b, t, h, w, c = x.shape
+    p0, p1, p2 = patch_size
+    x = x.reshape(b, t // p0, p0, h // p1, p1, w // p2, p2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, t // p0, h // p1, w // p2, p0 * p1 * p2 * c)
+
+
+def visual_embeddings(p, x: Array, patch_size: Sequence[int],
+                      out_dtype=None) -> Array:
+    out_dtype = out_dtype or p["in_layer"]["weight"].dtype
+    return linear(p["in_layer"], patchify(x, patch_size).astype(out_dtype))
+
+
+def unpatchify(x: Array, patch_size: Sequence[int], out_dim: int) -> Array:
+    """(B, T', H', W', C*p0*p1*p2) -> (B, T, H, W, C) with inner order
+    (C, p0, p1, p2) — exactly the reference OutLayer un-patchify
+    (nn.py:384-399). Note the inner order differs from :func:`patchify`."""
+    b, t, h, w, _ = x.shape
+    p0, p1, p2 = patch_size
+    x = x.reshape(b, t, h, w, out_dim, p0, p1, p2)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    return x.reshape(b, t * p0, h * p1, w * p2, out_dim)
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def rope_1d(positions: Array, head_dim: int,
+            max_period: float = 10000.0) -> Tuple[Array, Array]:
+    """cos/sin tables (L, head_dim//2) float32 (reference RoPE1D,
+    nn.py:99-116)."""
+    freqs = jnp.asarray(get_freqs(head_dim // 2, max_period))
+    args = jnp.outer(positions.astype(jnp.float32), freqs)
+    return jnp.cos(args), jnp.sin(args)
+
+
+def rope_3d(
+    grid: Tuple[int, int, int],
+    positions: Tuple[Array, Array, Array],
+    axes_dims: Sequence[int],
+    scale_factor: Sequence[float] = (1.0, 1.0, 1.0),
+    max_period: float = 10000.0,
+) -> Tuple[Array, Array]:
+    """cos/sin tables (T*H*W, sum(axes_dims)//2) float32.
+
+    Per-axis angle tables (axes_dims of 16/24/24 halved), positions divided
+    by scale_factor, broadcast over the 3D grid and concatenated — the
+    reference RoPE3D (nn.py:119-150) without materializing 2x2 rotation
+    matrices.
+    """
+    t, h, w = grid
+    parts = []
+    for ax, (dim, pos, sf) in enumerate(zip(axes_dims, positions, scale_factor)):
+        freqs = jnp.asarray(get_freqs(dim // 2, max_period))
+        args = jnp.outer(pos.astype(jnp.float32), freqs) / sf
+        shape = [1, 1, 1, args.shape[-1]]
+        shape[ax] = args.shape[0]
+        parts.append(jnp.broadcast_to(args.reshape(shape), (t, h, w, args.shape[-1])))
+    args = jnp.concatenate(parts, axis=-1)
+    args = args.reshape(t * h * w, -1)
+    return jnp.cos(args), jnp.sin(args)
+
+
+def apply_rotary(x: Array, cos: Array, sin: Array) -> Array:
+    """Rotate consecutive channel pairs: for each pair (x0, x1):
+    (cos*x0 - sin*x1, sin*x0 + cos*x1). Float32 compute, bf16 out —
+    equivalent to the reference's 2x2 rotation-matrix contraction
+    (nn.py:35-40, verified in tests against the matrix form).
+
+    x: (..., L, num_heads, head_dim); cos/sin: (L, head_dim//2).
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    x2 = xf.reshape(*xf.shape[:-1], xf.shape[-1] // 2, 2)
+    x0, x1 = x2[..., 0], x2[..., 1]
+    # cos/sin broadcast over batch and heads: (L, 1, D/2)
+    c = cos[..., :, None, :]
+    s = sin[..., :, None, :]
+    y0 = c * x0 - s * x1
+    y1 = s * x0 + c * x1
+    y = jnp.stack([y0, y1], axis=-1)
+    return y.reshape(xf.shape).astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Modulation / FF / attention projections
+# ---------------------------------------------------------------------------
+
+def modulation(p, time_embed: Array) -> Array:
+    """SiLU -> Linear in float32 (reference Modulation, nn.py:153-164).
+    Returns (B, num_params * model_dim) float32."""
+    h = jax.nn.silu(time_embed.astype(jnp.float32))
+    return linear(p["out_layer"], h, dtype=jnp.float32)
+
+
+def feed_forward(p, x: Array) -> Array:
+    """Linear -> exact GELU -> Linear, bf16, no biases (reference
+    FeedForward, nn.py:352-361)."""
+    h = linear(p["in_layer"], x)
+    h = jax.nn.gelu(h, approximate=False)
+    return linear(p["out_layer"], h)
+
+
+def qkv_proj(p, x: Array, num_heads: int) -> Tuple[Array, Array, Array]:
+    """Project to per-head Q/K/V with fp32 QK-RMSNorm (reference
+    get_qkv + norm_qk, nn.py:180-197). x: (B, L, D) -> (B, L, H, hd)."""
+    b, l, _ = x.shape
+    q = linear(p["to_query"], x).reshape(b, l, num_heads, -1)
+    k = linear(p["to_key"], x).reshape(b, l, num_heads, -1)
+    v = linear(p["to_value"], x).reshape(b, l, num_heads, -1)
+    q = rms_norm(q, p["query_norm"]["weight"]).astype(x.dtype)
+    k = rms_norm(k, p["key_norm"]["weight"]).astype(x.dtype)
+    return q, k, v

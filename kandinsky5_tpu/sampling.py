@@ -1,0 +1,256 @@
+"""Flow-matching Euler sampling as one jitted scan.
+
+TPU re-design of the reference denoise loop
+(/root/reference/kandinsky/generation_utils.py:39-129):
+
+  * the Python ``for (t, dt) in timesteps`` loop becomes ``jax.lax.scan``
+    inside a single jit — one compilation, no per-step dispatch;
+  * classifier-free guidance runs as a batch-2 DiT forward (cond, uncond)
+    instead of two sequential calls (generation_utils.py:53-73) — both
+    branches share one pass over the weights (HBM-bound win);
+  * MagCache (reference magcache_utils.py) is a *host-precomputed* skip
+    schedule — its counter arithmetic depends only on the calibrated
+    mag_ratios, so the data-dependent monkey-patching dissolves into a
+    static per-step plan plus a carried residual.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kandinsky5_tpu.config import Config, DiTParams, MagCacheConfig
+from kandinsky5_tpu.models.dit import (
+    SparseParams,
+    dit_epilogue,
+    dit_prologue,
+    dit_visual_blocks,
+)
+from kandinsky5_tpu.ops.nabla import sta_mask
+
+Array = jax.Array
+
+
+def timestep_grid(num_steps: int, scheduler_scale: float) -> np.ndarray:
+    """linspace(1→0) warped by s·t/(1+(s−1)·t)
+    (reference generation_utils.py:102-103)."""
+    t = np.linspace(1.0, 0.0, num_steps + 1, dtype=np.float32)
+    t = scheduler_scale * t / (1 + (scheduler_scale - 1) * t)
+    return t.astype(np.float32)
+
+
+def magcache_schedule(
+    mag_cfg: MagCacheConfig, num_steps: int, no_cfg: bool
+) -> np.ndarray:
+    """Precompute the per-call skip decisions of the reference MagCache
+    (magcache_utils.py:40-101). The decision chain (counter, accumulated
+    ratio/error/steps) is independent of activations, so it is evaluated
+    on the host once. Returns bool (num_steps, 2): [cond, uncond] skip
+    flags per sampling step (uncond column unused when no_cfg).
+    """
+    ratios = np.array([1.0, 1.0] + list(mag_cfg.mag_ratios), dtype=np.float64)
+    total = num_steps * 2
+    if len(ratios) != total:
+        # nearest-neighbour re-interpolation (magcache_utils.py:6-13,30-37)
+        def nearest(src, n):
+            if n == 1:
+                return np.array([src[-1]])
+            scale = (len(src) - 1) / (n - 1)
+            return src[np.round(np.arange(n) * scale).astype(int)]
+
+        con = nearest(ratios[0::2], num_steps)
+        ucon = nearest(ratios[1::2], num_steps)
+        ratios = np.stack([con, ucon], axis=1).reshape(-1)
+
+    skip = np.zeros((num_steps, 2), dtype=bool)
+    acc_ratio = [1.0, 1.0]
+    acc_steps = [0, 0]
+    acc_err = [0.0, 0.0]
+    warmup = int(total * mag_cfg.retention_ratio)
+    calls = range(0, total, 2) if no_cfg else range(total)
+    for cnt in calls:
+        b = cnt % 2
+        step = cnt // 2
+        if cnt >= warmup:
+            acc_ratio[b] *= ratios[cnt]
+            acc_steps[b] += 1
+            acc_err[b] += abs(1 - acc_ratio[b])
+            if acc_err[b] < mag_cfg.threshold and acc_steps[b] <= mag_cfg.K:
+                skip[step, b] = True
+            else:
+                acc_ratio[b], acc_steps[b], acc_err[b] = 1.0, 0, 0.0
+    return skip
+
+
+@dataclass(frozen=True)
+class DenoiseSpec:
+    """Static (trace-time) description of one denoise run."""
+
+    dit_params: DiTParams
+    num_steps: int
+    guidance_weight: float
+    scheduler_scale: float
+    scale_factor: Tuple[float, float, float]
+    attention_type: str = "flash"  # "flash" | "nabla"
+    nabla_P: float = 0.9
+    nabla_wT: int = 11
+    nabla_wH: int = 3
+    nabla_wW: int = 3
+    attn_impl: str = "auto"
+
+    @property
+    def use_cfg(self) -> bool:
+        # reference skips the uncond branch when |w-1| <= 1e-6
+        # (generation_utils.py:63)
+        return abs(self.guidance_weight - 1.0) > 1e-6
+
+
+def _build_sparse(spec: DenoiseSpec, grid) -> Optional[SparseParams]:
+    if spec.attention_type != "nabla":
+        return None
+    t, h, w = grid
+    assert h % 8 == 0 and w % 8 == 0, f"NABLA needs 8-divisible latent grid, got {grid}"
+    sta = np.asarray(
+        sta_mask(t, h // 8, w // 8, spec.nabla_wT, spec.nabla_wH, spec.nabla_wW)
+    )
+    return SparseParams(sta=jnp.asarray(sta), P=spec.nabla_P)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec",),
+)
+def denoise(
+    params,
+    spec: DenoiseSpec,
+    noise: Array,
+    text_embeds: Array,
+    pooled_embed: Array,
+    text_mask: Array,
+    null_text_embeds: Array,
+    null_pooled_embed: Array,
+    null_text_mask: Array,
+    skip_schedule: Array,
+) -> Array:
+    """Run the full Euler flow-matching integration.
+
+    noise: (1, T, H, W, C) float32 seed latent.
+    text/null embeds: (1, L, in_text_dim); pooled: (1, in_text_dim2);
+    masks: (1, L) bool.
+    skip_schedule: (num_steps, 2) bool MagCache plan (all-False = off).
+    Returns the final latent, same shape/dtype as ``noise``.
+    """
+    cfg = spec.dit_params
+    use_cfg = spec.use_cfg
+    b_eff = 2 if use_cfg else 1
+
+    if use_cfg:
+        text = jnp.concatenate([text_embeds, null_text_embeds], axis=0)
+        pooled = jnp.concatenate([pooled_embed, null_pooled_embed], axis=0)
+        mask = jnp.concatenate([text_mask, null_text_mask], axis=0)
+    else:
+        text, pooled, mask = text_embeds, pooled_embed, text_mask
+
+    pdtype = params["visual_embeddings"]["in_layer"]["weight"].dtype
+    _, t_lat, h_lat, w_lat, c_lat = noise.shape
+    grid = (t_lat // cfg.patch_size[0], h_lat // cfg.patch_size[1],
+            w_lat // cfg.patch_size[2])
+    sparse = _build_sparse(spec, grid)
+    to_fractal = sparse is not None
+
+    ts = jnp.asarray(timestep_grid(spec.num_steps, spec.scheduler_scale))
+    times, dts = ts[:-1], jnp.diff(ts)
+
+    seq_len = grid[0] * grid[1] * grid[2]
+    residual0 = jnp.zeros((b_eff, seq_len, cfg.model_dim), pdtype)
+
+    def step(carry, xs):
+        x, residual = carry
+        t, dt, skip = xs
+
+        if cfg.visual_cond:
+            # concat [x, zeros, zero-mask] -> 33 channels
+            # (reference generation_utils.py:107-114)
+            zeros = jnp.zeros_like(x)
+            zmask = jnp.zeros((*x.shape[:-1], 1), x.dtype)
+            model_in = jnp.concatenate([x, zeros, zmask], axis=-1)
+        else:
+            model_in = x
+        model_in = jnp.broadcast_to(
+            model_in, (b_eff, *model_in.shape[1:])).astype(pdtype)
+
+        time_vec = jnp.full((b_eff,), t * 1000.0, jnp.float32)
+        visual, text_o, time_embed, rope, _ = dit_prologue(
+            params, cfg, model_in, text, pooled, time_vec, mask,
+            spec.scale_factor, spec.attn_impl, to_fractal)
+
+        def run_blocks(visual_in, res_in):
+            out = dit_visual_blocks(params, cfg, visual_in, text_o, time_embed,
+                                    rope, mask, spec.attn_impl, sparse)
+            new_res = (out.astype(jnp.float32)
+                       - visual_in.astype(jnp.float32)).astype(pdtype)
+            # per-branch skip: branches flagged skip reuse the cached
+            # residual even when the other branch runs
+            # (reference magcache_utils.py:79-87)
+            sk = skip[:b_eff, None, None]
+            out = jnp.where(sk, visual_in + res_in, out)
+            new_res = jnp.where(sk, res_in, new_res)
+            return out, new_res
+
+        def skip_blocks(visual_in, res_in):
+            return visual_in + res_in, res_in
+
+        any_run = ~jnp.all(skip[:b_eff])
+        visual, residual = jax.lax.cond(
+            any_run, run_blocks, skip_blocks, visual, residual)
+
+        pred = dit_epilogue(params, cfg, visual, time_embed, grid, to_fractal)
+        pred = pred.astype(jnp.float32)
+        if use_cfg:
+            v_cond, v_uncond = pred[:1], pred[1:]
+            velocity = v_uncond + spec.guidance_weight * (v_cond - v_uncond)
+        else:
+            velocity = pred
+        x = x + dt * velocity
+        return (x, residual), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (noise, residual0), (times, dts, skip_schedule))
+    return x
+
+
+def generate_latents(
+    params,
+    spec: DenoiseSpec,
+    shape: Tuple[int, int, int, int, int],
+    cond: dict,
+    uncond: dict,
+    seed: int,
+    magcache: Optional[MagCacheConfig] = None,
+    noise: Optional[Array] = None,
+) -> Array:
+    """Host-side wrapper: seed noise + schedule + jitted denoise.
+
+    cond/uncond: {"text_embeds": (1,L,D), "pooled_embed": (1,P),
+    "mask": (1,L) bool}. ``noise`` overrides the seeded Gaussian (parity
+    tests inject the torch reference's noise here — JAX cannot reproduce
+    torch RNG streams).
+    """
+    if noise is None:
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, shape, jnp.float32)
+    if magcache is not None and len(magcache.mag_ratios) > 0:
+        skip = magcache_schedule(magcache, spec.num_steps, no_cfg=not spec.use_cfg)
+    else:
+        skip = np.zeros((spec.num_steps, 2), dtype=bool)
+    return denoise(
+        params, spec, noise,
+        cond["text_embeds"], cond["pooled_embed"], cond["mask"],
+        uncond["text_embeds"], uncond["pooled_embed"], uncond["mask"],
+        jnp.asarray(skip),
+    )
