@@ -71,3 +71,14 @@ def attention(
     if impl == "flash" or (impl == "auto" and flash_supported(q, k)):
         return flash_attention(q, k, v, kv_mask=kv_mask)
     return dense_attention(q, k, v, kv_mask=kv_mask)
+
+
+def flash_vs_dense_max_err(q, k, v, kv_mask=None) -> float:
+    """Debug helper: numeric gap between the two implementations."""
+    import numpy as np
+
+    from kandinsky5_tpu.ops.flash_pallas import flash_attention
+
+    f = flash_attention(q, k, v, kv_mask=kv_mask)
+    d = dense_attention(q, k, v, kv_mask=kv_mask)
+    return float(np.max(np.abs(np.asarray(f, np.float32) - np.asarray(d, np.float32))))
