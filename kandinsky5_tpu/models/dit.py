@@ -49,6 +49,7 @@ from kandinsky5_tpu.models.nn import (
 from kandinsky5_tpu.ops.attention import attention
 from kandinsky5_tpu.ops.fractal import fractal_flatten, fractal_unflatten
 from kandinsky5_tpu.ops.nabla import nabla_attention
+from kandinsky5_tpu.parallel.sharding import constrain_heads, constrain_seq
 
 Array = jax.Array
 
@@ -76,6 +77,7 @@ def _self_attention(p, x: Array, rope, num_heads: int, kv_mask, attn_impl: str,
     nn.py:166-298). rope = (cos, sin) tables or None."""
     b, l, d = x.shape
     q, k, v = qkv_proj(p, x, num_heads)
+    q, k, v = constrain_heads(q), constrain_heads(k), constrain_heads(v)
     if rope is not None:
         cos, sin = rope
         q = apply_rotary(q, cos, sin)
@@ -98,6 +100,7 @@ def _cross_attention(p, x: Array, cond: Array, num_heads: int, kv_mask,
     v = linear(p["to_value"], cond).reshape(bc, lc, num_heads, -1)
     q = rms_norm(q, p["query_norm"]["weight"]).astype(x.dtype)
     k = rms_norm(k, p["key_norm"]["weight"]).astype(x.dtype)
+    q, k, v = constrain_heads(q), constrain_heads(k), constrain_heads(v)
     out = attention(q, k, v, kv_mask=kv_mask, impl=attn_impl)
     return linear(p["out_layer"], out.reshape(b, l, d))
 
@@ -214,7 +217,8 @@ def dit_visual_blocks(
     def body(carry, block_params):
         out = visual_decoder_block(block_params, carry, text, time_embed, rope,
                                    text_mask, num_heads, attn_impl, sparse)
-        return out, None
+        # sequence-parallel residual stream between blocks
+        return constrain_seq(out), None
 
     visual, _ = jax.lax.scan(body, visual, params["visual_transformer_blocks"])
     return visual
@@ -366,6 +370,33 @@ def init_dit_params(key, cfg: DiTParams, dtype=jnp.bfloat16):
                 math.prod(cfg.patch_size) * cfg.out_visual_dim, dtype=dtype),
         },
     }
+
+
+def fast_init_dit_params(key, cfg: DiTParams, dtype=jnp.bfloat16,
+                         scale: float = 0.02):
+    """Random params from ONE flat RNG draw, sliced into leaves.
+
+    init_dit_params builds an ~814-call RNG program whose XLA compile is
+    slow at 2B scale; this variant compiles in seconds and is what
+    entry()/bench use (weight *values* only matter for numerics tests,
+    which use init_dit_params or converted checkpoints).
+    """
+    shapes = jax.eval_shape(
+        lambda k: init_dit_params(k, cfg, dtype=dtype), key)
+    leaves, treedef = jax.tree.flatten(shapes)
+    sizes = [int(np.prod(l.shape)) for l in leaves]
+    total = int(np.sum(sizes))
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    def build(key):
+        flat = jax.random.uniform(key, (total,), jnp.float32, -scale, scale)
+        out = []
+        for i, l in enumerate(leaves):
+            out.append(flat[offsets[i]:offsets[i + 1]]
+                       .reshape(l.shape).astype(dtype))
+        return jax.tree.unflatten(treedef, out)
+
+    return jax.jit(build)(key)
 
 
 def param_count(params) -> int:

@@ -217,8 +217,11 @@ def modulation(p, time_embed: Array) -> Array:
 
 def feed_forward(p, x: Array) -> Array:
     """Linear -> exact GELU -> Linear, bf16, no biases (reference
-    FeedForward, nn.py:352-361)."""
+    FeedForward, nn.py:352-361). Hidden activations shard over tp."""
+    from kandinsky5_tpu.parallel.sharding import constrain
+
     h = linear(p["in_layer"], x)
+    h = constrain(h, "dp", None, "tp")
     h = jax.nn.gelu(h, approximate=False)
     return linear(p["out_layer"], h)
 

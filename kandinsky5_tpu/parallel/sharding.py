@@ -1,0 +1,166 @@
+"""Tensor-parallel sharding for the DiT over a TPU mesh.
+
+TPU-native replacement for the reference's torch DTensor plan
+(/root/reference/kandinsky/models/parallelize.py:11-102, installed at
+utils.py:121-122). The reference's strategy — head-sharded QKV
+(Colwise), row-sharded attention-out / FF-out, sequence-parallel norms,
+replicated text blocks — maps onto one ``jax.sharding.Mesh`` with axes:
+
+  * ``dp``  — data parallel: the CFG cond/uncond pair (and any extra
+    prompts) shard the batch; replaces the reference's two sequential
+    CFG calls *and* its rank-0 broadcast choreography
+    (t2v_pipeline.py:108-139) — single-controller JAX has no ranks.
+  * ``tp``  — tensor parallel: attention heads and FF hidden dim.
+    XLA inserts the all-reduces the DTensor plan made explicit.
+
+Parameters get NamedShardings; activations are steered with
+``with_sharding_constraint`` inside the model (sequence-sharded between
+blocks — the reference's SequenceParallel-on-norms analog,
+parallelize.py:39-56).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: int = 1,
+              devices=None) -> Mesh:
+    """1/2-axis mesh ("dp", "tp") over the available devices.
+
+    dp divides the device count; the rest is tp. The reference only
+    supports 1-D TP over 1/2/4 GPUs (utils.py:49-52); here dp>1
+    additionally parallelizes the CFG pair / multi-prompt batches.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % dp == 0, f"dp={dp} must divide {n} devices"
+    arr = np.array(devices).reshape(dp, n // dp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def dit_param_specs(mesh: Mesh) -> dict:
+    """PartitionSpec pytree matching the DiT param tree layout.
+
+    Per-block leaves carry a leading stacked-block axis (None).
+    Mirrors parallelize.py: QKV Colwise (out-dim = packed heads),
+    attention-out and FF-out Rowwise (in-dim), FF-in Colwise,
+    modulation/embeddings/text blocks replicated.
+    """
+    rep = P()
+    attn = {
+        "to_query": {"weight": P(None, None, "tp"), "bias": P(None, "tp")},
+        "to_key": {"weight": P(None, None, "tp"), "bias": P(None, "tp")},
+        "to_value": {"weight": P(None, None, "tp"), "bias": P(None, "tp")},
+        # row-parallel: output is a partial sum -> XLA all-reduces
+        "out_layer": {"weight": P(None, "tp", None), "bias": P(None)},
+        "query_norm": {"weight": P(None)},
+        "key_norm": {"weight": P(None)},
+    }
+    ff = {
+        "in_layer": {"weight": P(None, None, "tp")},
+        "out_layer": {"weight": P(None, "tp", None)},
+    }
+    lin = lambda: {"weight": rep, "bias": rep}
+    norm = lambda: {"weight": rep, "bias": rep}
+    return {
+        "time_embeddings": {"in_layer": lin(), "out_layer": lin()},
+        "text_embeddings": {"in_layer": lin(), "norm": norm()},
+        "pooled_text_embeddings": {"in_layer": lin(), "norm": norm()},
+        "visual_embeddings": {"in_layer": lin()},
+        # text blocks replicated, exactly as the reference leaves them
+        # (parallelize.py only touches visual blocks + embeddings)
+        "text_transformer_blocks": {
+            "text_modulation": {"out_layer": {"weight": P(None), "bias": P(None)}},
+            "self_attention": {
+                k: {kk: P(None) for kk in v} for k, v in attn.items()
+            },
+            "feed_forward": {"in_layer": {"weight": P(None)},
+                             "out_layer": {"weight": P(None)}},
+        },
+        "visual_transformer_blocks": {
+            "visual_modulation": {"out_layer": {"weight": P(None), "bias": P(None)}},
+            "self_attention": attn,
+            "cross_attention": {k: dict(v) for k, v in attn.items()},
+            "feed_forward": ff,
+        },
+        "out_layer": {
+            "modulation": {"out_layer": lin()},
+            "out_layer": lin(),
+        },
+    }
+
+
+def shard_dit_params(params: dict, mesh: Mesh) -> dict:
+    """Place a DiT param pytree onto the mesh with TP shardings."""
+    specs = dit_param_specs(mesh)
+
+    def place(p, spec):
+        return jax.device_put(p, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, params, specs)
+
+
+# ---------------------------------------------------------------------------
+# Activation constraint context
+# ---------------------------------------------------------------------------
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+class sharding_ctx:
+    """Trace-time context enabling activation sharding constraints inside
+    the model code. Used as ``with sharding_ctx(mesh): jit(...)``."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._prev
+        return False
+
+
+def constrain(x: Array, *spec) -> Array:
+    """with_sharding_constraint(x, spec) when a mesh context is active;
+    identity otherwise (single-chip path stays clean)."""
+    if _ACTIVE_MESH is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_ACTIVE_MESH, P(*spec)))
+
+
+def constrain_heads(x: Array) -> Array:
+    """(B, L, H, D) attention activations: batch on dp, heads on tp."""
+    return constrain(x, "dp", None, "tp", None)
+
+
+def constrain_seq(x: Array) -> Array:
+    """(B, S, D) residual stream between blocks: batch on dp, sequence on
+    tp — the sequence-parallel layout the reference applies to norms
+    (parallelize.py:39-56)."""
+    return constrain(x, "dp", "tp", None)
+
+
+def constrain_batch(x: Array) -> Array:
+    return constrain(x, "dp")
