@@ -84,6 +84,51 @@ def load_dit_checkpoint(path: str, cfg: DiTParams, dtype=jnp.bfloat16) -> dict:
     return convert_dit_state_dict(load_file(path), cfg, dtype=dtype)
 
 
+def convert_vae_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Convert the HF HunyuanVideo VAE state dict to the NDHWC pytree of
+    models/vae.py.
+
+    torch Conv3d weights (O, I, kT, kH, kW) -> DHWIO; attention Linear
+    weights (O, I) -> (I, O); norms pass through. Key paths are kept
+    verbatim (digit segments become string dict keys).
+    """
+    tree: dict = {}
+    for key, value in state_dict.items():
+        arr = np.asarray(value)
+        if key.endswith(".weight"):
+            if arr.ndim == 5:  # Conv3d
+                arr = arr.transpose(2, 3, 4, 1, 0)
+            elif arr.ndim == 2:  # Linear (mid-block attention)
+                arr = arr.T
+        # causal conv wrappers hold the real conv at ``<name>.conv.*``;
+        # our pytree flattens that level away
+        for suffix in (".conv.weight", ".conv.bias"):
+            if key.endswith(suffix):
+                key = key[: -len(suffix)] + suffix[len(".conv"):]
+                break
+        _insert(tree, key, arr)
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), tree)
+
+
+def load_vae_checkpoint(path: str, dtype=jnp.bfloat16) -> dict:
+    """Load diffusers ``vae/diffusion_pytorch_model.safetensors``."""
+    import os
+
+    from safetensors.numpy import load_file
+
+    if os.path.isdir(path):
+        for cand in ("diffusion_pytorch_model.safetensors",
+                     os.path.join("vae", "diffusion_pytorch_model.safetensors")):
+            p = os.path.join(path, cand)
+            if os.path.exists(p):
+                path = p
+                break
+    return convert_vae_state_dict(load_file(path), dtype=dtype)
+
+
 def dit_params_to_state_dict(params: dict) -> Dict[str, np.ndarray]:
     """Inverse conversion (JAX pytree -> torch-layout state dict), used for
     checkpoint round-trip tests and for exporting."""

@@ -1,0 +1,656 @@
+"""HunyuanVideo 3D causal VAE — TPU-native JAX implementation.
+
+Re-design of the vendored diffusers model the reference uses for
+latent<->pixel conversion (/root/reference/kandinsky/models/vae.py).
+Structure (4x temporal / 8x spatial compression, 16 latent channels,
+causal convs with replicate padding, GroupNorm(32)+SiLU resnets,
+single-head causal mid-block attention) follows the reference
+faithfully; the execution model is TPU-first:
+
+  * channels-last NDHWC layout, convs via lax.conv_general_dilated —
+    XLA maps 3D convs onto the MXU;
+  * GroupNorm/softmax in fp32, convs in the parameter dtype;
+  * tiled decode/encode is host-side orchestration around a jitted
+    per-tile network (static tile shapes -> one compile per tile shape),
+    with vectorized blend ramps instead of the reference's per-row
+    Python loops (vae.py:908-936).
+
+Parameter pytrees are keyed to the HF checkpoint names
+(encoder.*, decoder.*, quant_conv, post_quant_conv) so conversion is
+mechanical (checkpoint.py:convert_vae_state_dict).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+GROUPNORM_EPS = 1e-6
+SCALING_FACTOR = 0.476986  # reference vae.py:732
+
+# Optimal tiling lookup tables (reference-specific addition,
+# vae.py:26-107): frame-count -> (tile, stride) in sample frames, and
+# spatial size -> (tile, stride) in pixels. These are calibration
+# constants, reproduced as data.
+OPT_TEMPORAL_TILING = {1: (1, 1), 17: (17, 17)}
+OPT_TEMPORAL_TILING.update({
+    21: (13, 8), 25: (17, 8), 29: (17, 12), 33: (21, 12), 37: (21, 16),
+    41: (17, 12), 45: (21, 12), 49: (17, 8), 53: (21, 16), 57: (21, 12),
+    61: (13, 8), 65: (17, 12), 69: (21, 16), 73: (17, 8), 77: (17, 12),
+    81: (21, 12), 85: (21, 16), 89: (17, 12), 93: (21, 12), 97: (17, 8),
+    101: (21, 16), 105: (21, 12), 109: (13, 8), 113: (17, 12), 117: (21, 16),
+    121: (17, 8), 125: (17, 12), 129: (21, 12), 133: (21, 16), 137: (17, 12),
+    141: (21, 12), 145: (17, 8), 149: (21, 16), 153: (21, 12), 157: (13, 8),
+    161: (17, 12), 165: (21, 16), 169: (17, 8), 173: (17, 12), 177: (21, 12),
+    181: (21, 16), 185: (17, 12), 189: (21, 12), 193: (17, 8), 197: (21, 16),
+    201: (21, 12), 205: (13, 8), 209: (17, 12), 213: (21, 16), 217: (17, 8),
+    221: (17, 12), 225: (21, 12), 229: (21, 16), 233: (17, 12), 237: (21, 12),
+    241: (17, 8),
+})
+
+OPT_SPATIAL_TILING = {
+    160: (160, 160), 192: (192, 192), 224: (224, 224), 256: (256, 256),
+    288: (288, 288), 320: (320, 320), 352: (352, 352), 384: (384, 384),
+    448: (448, 448), 512: (288, 224), 576: (320, 256), 640: (352, 288),
+    704: (384, 320), 768: (416, 352), 896: (480, 416), 1024: (544, 480),
+    1152: (608, 544), 1280: (672, 608), 1408: (736, 672),
+}
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers (functional, NDHWC)
+# ---------------------------------------------------------------------------
+
+def causal_conv3d(p, x: Array, stride=(1, 1, 1)) -> Array:
+    """3D conv with time-causal replicate padding (reference
+    HunyuanVideoCausalConv3d, vae.py:125-163: F.pad replicate with
+    (kT-1, 0) on time and k//2 both sides on space, then VALID conv).
+
+    x: (B, T, H, W, C); weight: (kT, kH, kW, Cin, Cout).
+    """
+    w = p["weight"]
+    kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    x = jnp.pad(
+        x,
+        ((0, 0), (kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
+        mode="edge",
+    )
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=tuple(stride),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv1x1(p, x: Array) -> Array:
+    """Pointwise 3D conv (quant/post_quant conv, vae.py:768-773)."""
+    w = p["weight"].reshape(p["weight"].shape[-2], p["weight"].shape[-1])
+    y = jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
+    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def group_norm(p, x: Array, groups: int = 32, eps: float = GROUPNORM_EPS) -> Array:
+    """GroupNorm over (T, H, W, C/groups) in fp32, NDHWC."""
+    b, t, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, t, h, w, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 2, 3, 5), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 3, 5), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, t, h, w, c)
+    xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(x.dtype)
+
+
+def resnet_block(p, x: Array) -> Array:
+    """GN -> SiLU -> conv -> GN -> SiLU -> conv + (1x1) shortcut
+    (reference HunyuanVideoResnetBlockCausal3D, vae.py:230-275)."""
+    residual = x
+    h = group_norm(p["norm1"], x)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = causal_conv3d(p["conv1"], h)
+    h = group_norm(p["norm2"], h)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    h = causal_conv3d(p["conv2"], h)
+    if "conv_shortcut" in p:
+        residual = causal_conv3d(p["conv_shortcut"], residual)
+    return h + residual
+
+
+def mid_attention(p, x: Array) -> Array:
+    """Single-head causal-frame attention over all voxels (reference
+    HunyuanVideoMidBlock3D + diffusers Attention, vae.py:278-362,110-122):
+    GroupNorm -> qkv -> softmax(fp32) with frame-causal mask -> out proj,
+    residual add. x: (B, T, H, W, C)."""
+    b, t, h, w, c = x.shape
+    s = h * w
+    residual = x
+    y = group_norm(p["group_norm"], x)
+    tokens = y.reshape(b, t * s, c)
+    q = jnp.dot(tokens, p["to_q"]["weight"], preferred_element_type=jnp.float32)
+    q = q + p["to_q"]["bias"].astype(jnp.float32)
+    k = jnp.dot(tokens, p["to_k"]["weight"], preferred_element_type=jnp.float32)
+    k = k + p["to_k"]["bias"].astype(jnp.float32)
+    v = jnp.dot(tokens, p["to_v"]["weight"], preferred_element_type=jnp.float32)
+    v = v + p["to_v"]["bias"].astype(jnp.float32)
+
+    scale = 1.0 / math.sqrt(c)
+    scores = jnp.einsum("bld,bmd->blm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    # frame-causal mask: voxel in frame i attends frames <= i
+    frame_q = jnp.arange(t).repeat(s)
+    allowed = frame_q[:, None] >= frame_q[None, :]
+    scores = jnp.where(allowed[None], scores, -1e30)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("blm,bmd->bld", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = jnp.dot(out, p["to_out"]["0"]["weight"],
+                  preferred_element_type=jnp.float32)
+    out = out + p["to_out"]["0"]["bias"].astype(jnp.float32)
+    out = out.reshape(b, t, h, w, c).astype(x.dtype)
+    return out + residual
+
+
+def upsample(p, x: Array, factor: Tuple[int, int, int]) -> Array:
+    """Nearest-neighbour upsample; the first frame upsamples spatially
+    only, preserving causality (reference HunyuanVideoUpsampleCausal3D,
+    vae.py:166-205). Then a causal conv."""
+    ft, fh, fw = factor
+    first, rest = x[:, :1], x[:, 1:]
+    if fh > 1:
+        first = jnp.repeat(jnp.repeat(first, fh, axis=2), fw, axis=3)
+    if rest.shape[1] > 0:
+        if ft > 1:
+            rest = jnp.repeat(rest, ft, axis=1)
+        if fh > 1:
+            rest = jnp.repeat(jnp.repeat(rest, fh, axis=2), fw, axis=3)
+        x = jnp.concatenate([first, rest], axis=1)
+    else:
+        x = first
+    return causal_conv3d(p["conv"], x)
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder towers
+# ---------------------------------------------------------------------------
+
+BLOCK_OUT_CHANNELS = (128, 256, 512, 512)
+LAYERS_PER_BLOCK = 2
+
+
+def _down_plan():
+    """(add_spatial, add_time) per down block for 4x temporal / 8x
+    spatial compression (reference vae.py:512-538)."""
+    n = len(BLOCK_OUT_CHANNELS)
+    n_space, n_time = 3, 2
+    plan = []
+    for i in range(n):
+        add_space = i < n_space
+        add_time = i >= (n - 1 - n_time) and i != n - 1
+        plan.append((add_space, add_time))
+    return plan
+
+
+def _up_plan():
+    """(add_spatial, add_time) per up block (reference vae.py:634-659)."""
+    n = len(BLOCK_OUT_CHANNELS)
+    n_space, n_time = 3, 2
+    plan = []
+    for i in range(n):
+        add_space = i < n_space
+        add_time = i >= (n - 1 - n_time) and i != n - 1
+        plan.append((add_space, add_time))
+    return plan
+
+
+def encoder_forward(p, x: Array) -> Array:
+    """(B, T, H, W, 3) -> (B, T', H/8, W/8, 32) moments
+    (reference HunyuanVideoEncoder3D, vae.py:478-586)."""
+    h = causal_conv3d(p["conv_in"], x)
+    for i, (add_s, add_t) in enumerate(_down_plan()):
+        blk = p["down_blocks"][str(i)]
+        for j in range(LAYERS_PER_BLOCK):
+            h = resnet_block(blk["resnets"][str(j)], h)
+        if "downsamplers" in blk:
+            stride = ((2 if add_t else 1), (2 if add_s else 1), (2 if add_s else 1))
+            h = causal_conv3d(blk["downsamplers"]["0"]["conv"], h, stride=stride)
+    mid = p["mid_block"]
+    h = resnet_block(mid["resnets"]["0"], h)
+    h = mid_attention(mid["attentions"]["0"], h)
+    h = resnet_block(mid["resnets"]["1"], h)
+    h = group_norm(p["conv_norm_out"], h)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
+    return causal_conv3d(p["conv_out"], h)
+
+
+def decoder_forward(p, z: Array) -> Array:
+    """(B, T', H', W', 16) -> (B, T, 8H', 8W', 3)
+    (reference HunyuanVideoDecoder3D, vae.py:589-696)."""
+    h = causal_conv3d(p["conv_in"], z)
+    mid = p["mid_block"]
+    h = resnet_block(mid["resnets"]["0"], h)
+    h = mid_attention(mid["attentions"]["0"], h)
+    h = resnet_block(mid["resnets"]["1"], h)
+    for i, (add_s, add_t) in enumerate(_up_plan()):
+        blk = p["up_blocks"][str(i)]
+        for j in range(LAYERS_PER_BLOCK + 1):
+            h = resnet_block(blk["resnets"][str(j)], h)
+        if "upsamplers" in blk:
+            factor = ((2 if add_t else 1), (2 if add_s else 1), (2 if add_s else 1))
+            h = upsample(blk["upsamplers"]["0"], h, factor)
+    h = group_norm(p["conv_norm_out"], h)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
+    return causal_conv3d(p["conv_out"], h)
+
+
+# ---------------------------------------------------------------------------
+# Tiled orchestration (reference vae.py:795-1204)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=())
+def _decode_tile(params, z):
+    z = conv1x1(params["post_quant_conv"], z)
+    return decoder_forward(params["decoder"], z)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _encode_tile(params, x):
+    h = encoder_forward(params["encoder"], x)
+    return conv1x1(params["quant_conv"], h)
+
+
+def _blend(a: Array, b: Array, extent: int, axis: int) -> Array:
+    """Linear cross-fade of the last `extent` slices of a into the first
+    `extent` slices of b along `axis` (vectorized form of reference
+    blend_t/h/v, vae.py:908-936)."""
+    extent = min(a.shape[axis], b.shape[axis], extent)
+    if extent == 0:
+        return b
+    ramp_shape = [1] * b.ndim
+    ramp_shape[axis] = extent
+    ramp = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(ramp_shape)
+    a_tail = jax.lax.slice_in_dim(a, a.shape[axis] - extent, a.shape[axis], axis=axis)
+    b_head = jax.lax.slice_in_dim(b, 0, extent, axis=axis)
+    blended = (a_tail.astype(jnp.float32) * (1 - ramp)
+               + b_head.astype(jnp.float32) * ramp).astype(b.dtype)
+    b_rest = jax.lax.slice_in_dim(b, extent, b.shape[axis], axis=axis)
+    return jnp.concatenate([blended, b_rest], axis=axis)
+
+
+class HunyuanVideoVAE:
+    """Tiled 3D causal VAE. Array layout is (B, T, H, W, C) throughout
+    (the pipeline converts to/from the reference's NCTHW at the edges).
+    """
+
+    spatial_compression = 8
+    temporal_compression = 4
+    scaling_factor = SCALING_FACTOR
+
+    def __init__(self, params, dtype=jnp.bfloat16):
+        self.params = params
+        self.dtype = dtype
+        # tiling state, set per call from the OPT tables (reference
+        # apply_tiling, vae.py:1230-1243)
+        self.tile_sample_min_num_frames = 16
+        self.tile_sample_stride_num_frames = 12
+        self.tile_sample_min_height = 256
+        self.tile_sample_min_width = 256
+        self.tile_sample_stride_height = 192
+        self.tile_sample_stride_width = 192
+
+    # -- tiling selection (reference get_enc/dec_optimal_tiling,
+    #    vae.py:1245-1273)
+    def _optimal_tiling(self, num_frames, height, width):
+        if math.sqrt(height * width) < 450 and num_frames <= 97:
+            ft, fs = num_frames, num_frames
+        else:
+            ft, fs = OPT_TEMPORAL_TILING[num_frames]
+        if math.sqrt(height * width) > 900:
+            ht, hs = OPT_SPATIAL_TILING[height]
+            wt, ws = OPT_SPATIAL_TILING[width]
+        else:
+            ht, hs, wt, ws = height, height, width, width
+        return (ft, ht, wt), (fs, hs, ws)
+
+    def _apply_tiling(self, tile, stride):
+        ft, ht, wt = tile
+        fs, hs, ws = stride
+        self.tile_sample_min_num_frames = ft - 1
+        self.tile_sample_stride_num_frames = fs
+        self.tile_sample_min_height = ht
+        self.tile_sample_min_width = wt
+        self.tile_sample_stride_height = hs
+        self.tile_sample_stride_width = ws
+
+    # ------------------------------------------------------------------
+    # Decode
+    # ------------------------------------------------------------------
+
+    def decode(self, z: Array, opt_tiling: bool = True) -> Array:
+        """(B, T', H', W', 16) latents -> (B, T, H, W, 3) in [-1, 1]."""
+        z = z.astype(self.dtype)
+        b, tf, hl, wl, _ = z.shape
+        if opt_tiling:
+            sample_frames = 4 * (tf - 1) + 1
+            tile, stride = self._optimal_tiling(sample_frames, 8 * hl, 8 * wl)
+            self._apply_tiling(tile, stride)
+
+        tile_lat_f = self.tile_sample_min_num_frames // self.temporal_compression
+        if tf > tile_lat_f + 1:
+            return self._temporal_tiled_decode(z)
+        return self._spatial_decode(z)
+
+    def _spatial_decode(self, z: Array) -> Array:
+        b, tf, hl, wl, _ = z.shape
+        tile_lat_h = self.tile_sample_min_height // self.spatial_compression
+        # NOTE: the reference compares width against
+        # tile_sample_stride_width//8 here (vae.py:854-856) — an apparent
+        # quirk we reproduce for parity.
+        tile_lat_w = self.tile_sample_stride_width // self.spatial_compression
+        if wl > tile_lat_w or hl > tile_lat_h:
+            return self._spatial_tiled_decode(z)
+        return _decode_tile(self.params, z)
+
+    def _spatial_tiled_decode(self, z: Array) -> Array:
+        """Overlap-tile over H/W with linear blending (reference
+        tiled_decode, vae.py:1012-1094)."""
+        sc = self.spatial_compression
+        b, tf, hl, wl, _ = z.shape
+        sample_h, sample_w = hl * sc, wl * sc
+        t_lat_h = self.tile_sample_min_height // sc
+        t_lat_w = self.tile_sample_min_width // sc
+        s_lat_h = self.tile_sample_stride_height // sc
+        s_lat_w = self.tile_sample_stride_width // sc
+        blend_h = self.tile_sample_min_height - self.tile_sample_stride_height
+        blend_w = self.tile_sample_min_width - self.tile_sample_stride_width
+
+        rows = []
+        for i in range(0, hl - t_lat_h + 1, s_lat_h):
+            row = []
+            for j in range(0, wl - t_lat_w + 1, s_lat_w):
+                tile = z[:, :, i:i + t_lat_h, j:j + t_lat_w, :]
+                row.append(_decode_tile(self.params, tile))
+            rows.append(row)
+
+        result_rows = []
+        for i, row in enumerate(rows):
+            result_row = []
+            for j, tile in enumerate(row):
+                # the reference blend mutates tiles in place
+                # (vae.py:908-936), so each blend chains off the already-
+                # blended neighbor — replicate by writing back
+                if i > 0:
+                    tile = _blend(rows[i - 1][j], tile, blend_h, axis=2)
+                if j > 0:
+                    tile = _blend(rows[i][j - 1], tile, blend_w, axis=3)
+                rows[i][j] = tile
+                h_lim = (self.tile_sample_min_height if i == len(rows) - 1
+                         else self.tile_sample_stride_height)
+                w_lim = (self.tile_sample_min_width if j == len(row) - 1
+                         else self.tile_sample_stride_width)
+                result_row.append(tile[:, :, :h_lim, :w_lim, :])
+            result_rows.append(jnp.concatenate(result_row, axis=3))
+        out = jnp.concatenate(result_rows, axis=2)
+        return out[:, :, :sample_h, :sample_w, :]
+
+    def _temporal_tiled_decode(self, z: Array) -> Array:
+        """Chunk over latent time with one-frame overlap re-decode and
+        linear blending (reference _temporal_tiled_decode,
+        vae.py:1144-1204)."""
+        b, tf, hl, wl, _ = z.shape
+        num_sample_frames = (tf - 1) * self.temporal_compression + 1
+        t_lat_f = self.tile_sample_min_num_frames // self.temporal_compression
+        s_lat_f = self.tile_sample_stride_num_frames // self.temporal_compression
+        blend_f = (self.tile_sample_min_num_frames
+                   - self.tile_sample_stride_num_frames)
+
+        row = []
+        for i in range(0, tf - t_lat_f + 1, s_lat_f):
+            tile = z[:, i:i + t_lat_f + 1]
+            decoded = self._spatial_decode(tile)
+            if i > 0:
+                decoded = decoded[:, 1:]
+            row.append(decoded)
+
+        result = []
+        for i, tile in enumerate(row):
+            if i > 0:
+                tile = _blend(row[i - 1], tile, blend_f, axis=1)
+                row[i] = tile  # chain off blended tiles (in-place reference)
+                t_lim = (self.tile_sample_min_num_frames if i == len(row) - 1
+                         else self.tile_sample_stride_num_frames)
+                result.append(tile[:, :t_lim])
+            else:
+                result.append(tile[:, :self.tile_sample_stride_num_frames + 1])
+        out = jnp.concatenate(result, axis=1)
+        return out[:, :num_sample_frames]
+
+    # ------------------------------------------------------------------
+    # Encode
+    # ------------------------------------------------------------------
+
+    def encode_moments(self, x: Array, opt_tiling: bool = True) -> Array:
+        """(B, T, H, W, 3) -> (B, T', H', W', 32) mean||logvar moments."""
+        x = x.astype(self.dtype)
+        b, t, hh, ww, _ = x.shape
+        if opt_tiling:
+            tile, stride = self._optimal_tiling(t, hh, ww)
+            self._apply_tiling(tile, stride)
+
+        if t > self.tile_sample_min_num_frames + 1:
+            return self._temporal_tiled_encode(x)
+        return self._spatial_encode(x)
+
+    def encode(self, x: Array, seed: Optional[int] = None,
+               opt_tiling: bool = True) -> Array:
+        """Encode to latents: posterior mode, or a sample when a seed is
+        given (reference DiagonalGaussianDistribution semantics)."""
+        moments = self.encode_moments(x, opt_tiling=opt_tiling)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        if seed is None:
+            return mean
+        logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
+        std = jnp.exp(0.5 * logvar)
+        noise = jax.random.normal(jax.random.PRNGKey(seed), mean.shape,
+                                  jnp.float32)
+        return (mean.astype(jnp.float32) + std * noise).astype(mean.dtype)
+
+    def _spatial_encode(self, x: Array) -> Array:
+        b, t, hh, ww, _ = x.shape
+        if (ww > self.tile_sample_min_width or hh > self.tile_sample_min_height):
+            return self._spatial_tiled_encode(x)
+        return _encode_tile(self.params, x)
+
+    def _spatial_tiled_encode(self, x: Array) -> Array:
+        """Reference tiled_encode (vae.py:938-1010)."""
+        sc = self.spatial_compression
+        b, t, hh, ww, _ = x.shape
+        latent_h, latent_w = hh // sc, ww // sc
+        t_lat_h = self.tile_sample_min_height // sc
+        t_lat_w = self.tile_sample_min_width // sc
+        s_lat_h = self.tile_sample_stride_height // sc
+        s_lat_w = self.tile_sample_stride_width // sc
+        blend_h = t_lat_h - s_lat_h
+        blend_w = t_lat_w - s_lat_w
+
+        rows = []
+        for i in range(0, hh - self.tile_sample_min_height + 1,
+                       self.tile_sample_stride_height):
+            row = []
+            for j in range(0, ww - self.tile_sample_min_width + 1,
+                           self.tile_sample_stride_width):
+                tile = x[:, :, i:i + self.tile_sample_min_height,
+                         j:j + self.tile_sample_min_width, :]
+                row.append(_encode_tile(self.params, tile))
+            rows.append(row)
+
+        result_rows = []
+        for i, row in enumerate(rows):
+            result_row = []
+            for j, tile in enumerate(row):
+                if i > 0:
+                    tile = _blend(rows[i - 1][j], tile, blend_h, axis=2)
+                if j > 0:
+                    tile = _blend(rows[i][j - 1], tile, blend_w, axis=3)
+                rows[i][j] = tile  # chain off blended tiles
+                h_lim = t_lat_h if i == len(rows) - 1 else s_lat_h
+                w_lim = t_lat_w if j == len(row) - 1 else s_lat_w
+                result_row.append(tile[:, :, :h_lim, :w_lim, :])
+            result_rows.append(jnp.concatenate(result_row, axis=3))
+        out = jnp.concatenate(result_rows, axis=2)
+        return out[:, :, :latent_h, :latent_w, :]
+
+    def _temporal_tiled_encode(self, x: Array) -> Array:
+        """Reference _temporal_tiled_encode (vae.py:1096-1142)."""
+        b, t, hh, ww, _ = x.shape
+        latent_f = (t - 1) // self.temporal_compression + 1
+        t_lat_f = self.tile_sample_min_num_frames // self.temporal_compression
+        s_lat_f = self.tile_sample_stride_num_frames // self.temporal_compression
+        blend_f = t_lat_f - s_lat_f
+
+        row = []
+        for i in range(0, t - self.tile_sample_min_num_frames + 1,
+                       self.tile_sample_stride_num_frames):
+            tile = x[:, i:i + self.tile_sample_min_num_frames + 1]
+            enc = self._spatial_encode(tile)
+            if i > 0:
+                enc = enc[:, 1:]
+            row.append(enc)
+
+        result = []
+        for i, tile in enumerate(row):
+            if i > 0:
+                tile = _blend(row[i - 1], tile, blend_f, axis=1)
+                row[i] = tile  # chain off blended tiles
+                t_lim = t_lat_f if i == len(row) - 1 else s_lat_f
+                result.append(tile[:, :t_lim])
+            else:
+                result.append(tile[:, :s_lat_f + 1])
+        out = jnp.concatenate(result, axis=1)
+        return out[:, :latent_f]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (tests; real weights via checkpoint.py)
+# ---------------------------------------------------------------------------
+
+def _conv_p(key, kt, kh, kw, cin, cout, dtype):
+    k = 1.0 / math.sqrt(cin * kt * kh * kw)
+    return {
+        "weight": jax.random.uniform(key, (kt, kh, kw, cin, cout),
+                                     jnp.float32, -k, k).astype(dtype),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def _gn_p(c, dtype):
+    return {"weight": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def _lin_p(key, cin, cout, dtype):
+    k = 1.0 / math.sqrt(cin)
+    return {
+        "weight": jax.random.uniform(key, (cin, cout), jnp.float32,
+                                     -k, k).astype(dtype),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def _resnet_p(key, cin, cout, dtype):
+    ks = jax.random.split(key, 3)
+    p = {
+        "norm1": _gn_p(cin, dtype),
+        "conv1": _conv_p(ks[0], 3, 3, 3, cin, cout, dtype),
+        "norm2": _gn_p(cout, dtype),
+        "conv2": _conv_p(ks[1], 3, 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["conv_shortcut"] = _conv_p(ks[2], 1, 1, 1, cin, cout, dtype)
+    return p
+
+
+def _attn_p(key, c, dtype):
+    ks = jax.random.split(key, 4)
+    return {
+        "group_norm": _gn_p(c, dtype),
+        "to_q": _lin_p(ks[0], c, c, dtype),
+        "to_k": _lin_p(ks[1], c, c, dtype),
+        "to_v": _lin_p(ks[2], c, c, dtype),
+        "to_out": {"0": _lin_p(ks[3], c, c, dtype)},
+    }
+
+
+def init_vae_params(key, latent_channels: int = 16, dtype=jnp.float32,
+                    block_out_channels: Sequence[int] = BLOCK_OUT_CHANNELS):
+    """Random VAE pytree with the HF checkpoint layout (tests only)."""
+    assert tuple(block_out_channels) == BLOCK_OUT_CHANNELS
+    ks = iter(jax.random.split(key, 64))
+    ch = block_out_channels
+
+    down_blocks = {}
+    c_in = ch[0]
+    for i, (add_s, add_t) in enumerate(_down_plan()):
+        blk = {"resnets": {}}
+        c_out = ch[i]
+        for j in range(LAYERS_PER_BLOCK):
+            blk["resnets"][str(j)] = _resnet_p(
+                next(ks), c_in if j == 0 else c_out, c_out, dtype)
+        if add_s or add_t:
+            blk["downsamplers"] = {
+                "0": {"conv": _conv_p(next(ks), 3, 3, 3, c_out, c_out, dtype)}
+            }
+        down_blocks[str(i)] = blk
+        c_in = c_out
+
+    up_blocks = {}
+    rev = list(reversed(ch))
+    c_in = rev[0]
+    for i, (add_s, add_t) in enumerate(_up_plan()):
+        blk = {"resnets": {}}
+        c_out = rev[i]
+        for j in range(LAYERS_PER_BLOCK + 1):
+            blk["resnets"][str(j)] = _resnet_p(
+                next(ks), c_in if j == 0 else c_out, c_out, dtype)
+        if add_s or add_t:
+            blk["upsamplers"] = {
+                "0": {"conv": _conv_p(next(ks), 3, 3, 3, c_out, c_out, dtype)}
+            }
+        up_blocks[str(i)] = blk
+        c_in = c_out
+
+    def mid(c):
+        return {
+            "resnets": {"0": _resnet_p(next(ks), c, c, dtype),
+                        "1": _resnet_p(next(ks), c, c, dtype)},
+            "attentions": {"0": _attn_p(next(ks), c, dtype)},
+        }
+
+    lc = latent_channels
+    return {
+        "encoder": {
+            "conv_in": _conv_p(next(ks), 3, 3, 3, 3, ch[0], dtype),
+            "down_blocks": down_blocks,
+            "mid_block": mid(ch[-1]),
+            "conv_norm_out": _gn_p(ch[-1], dtype),
+            "conv_out": _conv_p(next(ks), 3, 3, 3, ch[-1], 2 * lc, dtype),
+        },
+        "decoder": {
+            "conv_in": _conv_p(next(ks), 3, 3, 3, lc, ch[-1], dtype),
+            "mid_block": mid(ch[-1]),
+            "up_blocks": up_blocks,
+            "conv_norm_out": _gn_p(ch[0], dtype),
+            "conv_out": _conv_p(next(ks), 3, 3, 3, ch[0], 3, dtype),
+        },
+        "quant_conv": _conv_p(next(ks), 1, 1, 1, 2 * lc, 2 * lc, dtype),
+        "post_quant_conv": _conv_p(next(ks), 1, 1, 1, lc, lc, dtype),
+    }
