@@ -5,6 +5,7 @@ SURVEY.md for the structural map of the reference and README.md for the
 framework overview.
 """
 
+from kandinsky5_tpu.utils import cache as _cache  # noqa: F401  (side effect)
 from kandinsky5_tpu.config import Config, get_default_conf, load_config
 
 __all__ = ["Config", "get_default_conf", "load_config", "get_T2V_pipeline"]

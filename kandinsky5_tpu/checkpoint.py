@@ -129,6 +129,67 @@ def load_vae_checkpoint(path: str, dtype=jnp.bfloat16) -> dict:
     return convert_vae_state_dict(load_file(path), dtype=dtype)
 
 
+def _stack_layers(by_idx: Dict[int, dict]) -> dict:
+    n = len(by_idx)
+    assert sorted(by_idx) == list(range(n)), sorted(by_idx)
+    return jax.tree.map(lambda *xs: np.stack(xs), *[by_idx[i] for i in range(n)])
+
+
+def convert_qwen_state_dict(state_dict: Mapping[str, np.ndarray],
+                            dtype=jnp.bfloat16) -> dict:
+    """HF Qwen2.5-VL state dict -> text/qwen.py pytree.
+
+    Handles both layouts ("model.language_model.*" in transformers>=4.52
+    and "model.*" before); the vision tower is dropped (the pipeline is
+    text-only, reference text_embedders.py:70-81 passes images=None).
+    Linear weights transpose to (in, out); embed_tokens stays (vocab, d).
+    """
+    tree: dict = {}
+    layers: Dict[int, dict] = {}
+    layer_re = re.compile(r"^layers\.(\d+)\.(.+)$")
+    for key, value in state_dict.items():
+        if "visual" in key:
+            continue
+        for prefix in ("model.language_model.", "language_model.", "model."):
+            if key.startswith(prefix):
+                key = key[len(prefix):]
+                break
+        arr = np.asarray(value)
+        if key.endswith(".weight") and arr.ndim == 2 and "embed_tokens" not in key:
+            arr = arr.T
+        m = layer_re.match(key)
+        if m:
+            _insert(layers.setdefault(int(m.group(1)), {}), m.group(2), arr)
+        else:
+            _insert(tree, key, arr)
+    tree["layers"] = _stack_layers(layers)
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), tree)
+
+
+def convert_clip_state_dict(state_dict: Mapping[str, np.ndarray],
+                            dtype=jnp.float32) -> dict:
+    """HF CLIPTextModel state dict -> text/clip.py pytree."""
+    tree: dict = {}
+    layers: Dict[int, dict] = {}
+    layer_re = re.compile(r"^encoder\.layers\.(\d+)\.(.+)$")
+    for key, value in state_dict.items():
+        if key.startswith("text_model."):
+            key = key[len("text_model."):]
+        if key.startswith("text_projection") or "position_ids" in key:
+            continue
+        arr = np.asarray(value)
+        if (key.endswith(".weight") and arr.ndim == 2
+                and "embedding" not in key):
+            arr = arr.T
+        m = layer_re.match(key)
+        if m:
+            _insert(layers.setdefault(int(m.group(1)), {}), m.group(2), arr)
+        else:
+            _insert(tree, key, arr)
+    tree["layers"] = _stack_layers(layers)
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), tree)
+
+
 def dit_params_to_state_dict(params: dict) -> Dict[str, np.ndarray]:
     """Inverse conversion (JAX pytree -> torch-layout state dict), used for
     checkpoint round-trip tests and for exporting."""

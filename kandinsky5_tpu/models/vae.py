@@ -144,16 +144,27 @@ def mid_attention(p, x: Array) -> Array:
     v = jnp.dot(tokens, p["to_v"]["weight"], preferred_element_type=jnp.float32)
     v = v + p["to_v"]["bias"].astype(jnp.float32)
 
-    scale = 1.0 / math.sqrt(c)
-    scores = jnp.einsum("bld,bmd->blm", q, k,
-                        preferred_element_type=jnp.float32) * scale
     # frame-causal mask: voxel in frame i attends frames <= i
-    frame_q = jnp.arange(t).repeat(s)
-    allowed = frame_q[:, None] >= frame_q[None, :]
-    scores = jnp.where(allowed[None], scores, -1e30)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("blm,bmd->bld", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+    frame_ids = jnp.broadcast_to(jnp.arange(t).repeat(s)[None], (b, t * s))
+    from kandinsky5_tpu.ops.flash_pallas import flash_attention, flash_supported
+
+    qh = q.astype(x.dtype)[:, :, None, :]  # single head (B, L, 1, C)
+    if flash_supported(qh, qh) and (t * s) >= 2048:
+        # flash path: O(S) memory; the dense path would materialize a
+        # (T·H·W)^2 fp32 score matrix (3.8 GB at the 5s decode tile)
+        kh = k.astype(x.dtype)[:, :, None, :]
+        vh = v.astype(x.dtype)[:, :, None, :]
+        out = flash_attention(qh, kh, vh, q_ids=frame_ids, kv_ids=frame_ids,
+                              fixed_shift=False)[:, :, 0, :]
+    else:
+        scale = 1.0 / math.sqrt(c)
+        scores = jnp.einsum("bld,bmd->blm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        allowed = frame_ids[0][:, None] >= frame_ids[0][None, :]
+        scores = jnp.where(allowed[None], scores, -1e30)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("blm,bmd->bld", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
     out = jnp.dot(out, p["to_out"]["0"]["weight"],
                   preferred_element_type=jnp.float32)
     out = out + p["to_out"]["0"]["bias"].astype(jnp.float32)
