@@ -78,10 +78,13 @@ def convert_dit_state_dict(
 
 
 def load_dit_checkpoint(path: str, cfg: DiTParams, dtype=jnp.bfloat16) -> dict:
-    """Load a released ``.safetensors`` DiT checkpoint into the pytree."""
-    from safetensors.numpy import load_file
+    """Load a released ``.safetensors`` DiT checkpoint into the pytree
+    (torch-backed loader: the released files are bfloat16, which the
+    numpy safetensors backend cannot represent)."""
+    from kandinsky5_tpu.utils.io import load_sharded_safetensors
 
-    return convert_dit_state_dict(load_file(path), cfg, dtype=dtype)
+    return convert_dit_state_dict(load_sharded_safetensors(path), cfg,
+                                  dtype=dtype)
 
 
 def convert_vae_state_dict(

@@ -1,0 +1,208 @@
+"""Kandinsky5T2VPipeline — the user-facing text-to-video pipeline.
+
+TPU re-design of the reference pipeline object
+(/root/reference/kandinsky/t2v_pipeline.py:10-189) and factory
+(kandinsky/utils.py:23-134). Single-controller JAX removes the
+reference's rank choreography (seed broadcast, prompt
+broadcast_object_list, torchrun launch — t2v_pipeline.py:108-139): one
+process drives the whole mesh.
+
+Stage flow per generation (reference generate_sample,
+generation_utils.py:132-228):
+  text encode (Qwen + CLIP) -> jitted flow-matching denoise scan
+  (sampling.py) -> tiled VAE decode -> uint8 frames -> mp4/PNG.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kandinsky5_tpu.config import Config, load_config
+from kandinsky5_tpu.sampling import DenoiseSpec, generate_latents
+
+DEFAULT_NEGATIVE = (
+    "Static, 2D cartoon, cartoon, 2d animation, paintings, images, worst "
+    "quality, low quality, ugly, deformed, walking backwards"
+)  # reference t2v_pipeline.py:100
+
+RESOLUTIONS = {512: [(512, 512), (512, 768), (768, 512)]}  # t2v_pipeline.py:43-45
+
+
+class Kandinsky5T2VPipeline:
+    def __init__(
+        self,
+        dit_params,
+        conf: Config,
+        text_embedder=None,
+        vae=None,
+        mesh=None,
+        magcache: bool = False,
+    ):
+        self.dit_params = dit_params
+        self.conf = conf
+        self.text_embedder = text_embedder
+        self.vae = vae
+        self.mesh = mesh
+        self.magcache = magcache
+        self.resolution = conf.resolution
+        if self.resolution not in RESOLUTIONS:
+            raise ValueError("Resolution can be only 512")
+
+    def _spec(self, num_steps, guidance_weight, scheduler_scale) -> DenoiseSpec:
+        m = self.conf.model
+        return DenoiseSpec(
+            dit_params=m.dit_params,
+            num_steps=num_steps,
+            guidance_weight=guidance_weight,
+            scheduler_scale=scheduler_scale,
+            scale_factor=tuple(self.conf.metrics.scale_factor),
+            attention_type=m.attention.type,
+            nabla_P=m.attention.P,
+            nabla_wT=m.attention.wT,
+            nabla_wH=m.attention.wH,
+            nabla_wW=m.attention.wW,
+        )
+
+    def expand_prompt(self, prompt: str) -> str:
+        return self.text_embedder.expand_prompt(prompt)
+
+    def __call__(
+        self,
+        text: str,
+        time_length: int = 5,  # seconds; 0 => single image
+        width: int = 768,
+        height: int = 512,
+        seed: Optional[int] = None,
+        num_steps: Optional[int] = None,
+        guidance_weight: Optional[float] = None,
+        scheduler_scale: float = 10.0,
+        negative_caption: str = DEFAULT_NEGATIVE,
+        expand_prompts: bool = True,
+        save_path: Optional[Union[str, List[str]]] = None,
+        progress: bool = True,
+    ):
+        num_steps = self.conf.model.num_steps if num_steps is None else num_steps
+        guidance_weight = (self.conf.model.guidance_weight
+                           if guidance_weight is None else guidance_weight)
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        if (height, width) not in RESOLUTIONS[self.resolution]:
+            raise ValueError(
+                f"Wrong height, width pair. Available (height, width) are: "
+                f"{RESOLUTIONS[self.resolution]}")
+
+        # frame count: 24 fps, 4x VAE temporal compression
+        # (reference t2v_pipeline.py:128)
+        num_frames = 1 if time_length == 0 else time_length * 24 // 4 + 1
+        type_of_content = "image" if time_length == 0 else "video"
+
+        caption = text
+        if expand_prompts:
+            caption = self.expand_prompt(caption)
+
+        cond = self.text_embedder.encode([caption], type_of_content)
+        uncond = self.text_embedder.encode([negative_caption], type_of_content)
+
+        latent_shape = (1, num_frames, height // 8, width // 8, 16)
+        spec = self._spec(num_steps, guidance_weight, scheduler_scale)
+        mag = self.conf.magcache if self.magcache else None
+
+        cond_d = {"text_embeds": cond.text_embeds,
+                  "pooled_embed": cond.pooled_embed, "mask": cond.mask}
+        uncond_d = {"text_embeds": uncond.text_embeds,
+                    "pooled_embed": uncond.pooled_embed, "mask": uncond.mask}
+
+        t0 = time.time()
+        latents = generate_latents(self.dit_params, spec, latent_shape,
+                                   cond_d, uncond_d, seed=seed, magcache=mag)
+        if progress:
+            latents.block_until_ready()
+            print(f"denoise: {time.time() - t0:.1f}s "
+                  f"({num_steps} steps, cfg={spec.use_cfg})")
+
+        # latent -> pixels (reference generation_utils.py:210-222)
+        frames = self.decode_latents(latents)
+
+        if save_path is not None:
+            self.save(frames, save_path, time_length)
+        return frames
+
+    def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
+        """(B, T', H', W', 16) -> (B, T, H, W, 3) uint8 frames."""
+        z = latents / self.vae.scaling_factor
+        video = self.vae.decode(z)
+        video = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
+        video = ((video + 1.0) * 127.5).astype(jnp.uint8)
+        return np.asarray(video)
+
+    def save(self, frames: np.ndarray, save_path: Union[str, List[str]],
+             time_length: int) -> None:
+        from kandinsky5_tpu.utils.io import write_image, write_video
+
+        if isinstance(save_path, str):
+            save_path = [save_path]
+        for path, video in zip(save_path, frames):
+            if time_length == 0:
+                write_image(path, video[0])
+            else:
+                write_video(path, video, fps=24, crf=5)
+
+
+def get_T2V_pipeline(
+    device_map=None,
+    resolution: int = 512,
+    cache_dir: str = "./weights/",
+    dit_path: Optional[str] = None,
+    text_encoder_path: Optional[str] = None,
+    text_encoder2_path: Optional[str] = None,
+    vae_path: Optional[str] = None,
+    conf_path: Optional[str] = None,
+    offload: bool = False,
+    magcache: bool = False,
+    tp: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> Kandinsky5T2VPipeline:
+    """Build the full pipeline (reference get_T2V_pipeline,
+    kandinsky/utils.py:23-134). ``device_map`` is accepted for API
+    compatibility and ignored — JAX owns device placement; ``tp`` sets
+    the tensor-parallel width over the local mesh (replaces torchrun
+    world size).
+    """
+    from kandinsky5_tpu.checkpoint import load_dit_checkpoint, load_vae_checkpoint
+    from kandinsky5_tpu.config import get_default_conf
+    from kandinsky5_tpu.models.vae import HunyuanVideoVAE
+    from kandinsky5_tpu.text.embedder import Kandinsky5TextEmbedder
+
+    if conf_path is not None:
+        conf = load_config(conf_path)
+    else:
+        conf = get_default_conf(
+            dit_path or f"{cache_dir}/model/kandinsky5lite_t2v_sft_5s.safetensors",
+            vae_path or f"{cache_dir}/vae/",
+            text_encoder_path or f"{cache_dir}/text_encoder/",
+            text_encoder2_path or f"{cache_dir}/text_encoder2/",
+        )
+
+    dit_params = load_dit_checkpoint(conf.model.checkpoint_path,
+                                     conf.model.dit_params, dtype=dtype)
+    vae = HunyuanVideoVAE(
+        load_vae_checkpoint(conf.model.vae.checkpoint_path, dtype=dtype),
+        dtype=dtype)
+    text_embedder = Kandinsky5TextEmbedder.from_pretrained(
+        conf.model.text_embedder, dtype=dtype)
+
+    mesh = None
+    if tp is not None and tp > 1:
+        from kandinsky5_tpu.parallel.sharding import make_mesh, shard_dit_params
+
+        mesh = make_mesh(n_devices=tp, dp=1)
+        dit_params = shard_dit_params(dit_params, mesh)
+
+    return Kandinsky5T2VPipeline(
+        dit_params=dit_params, conf=conf, text_embedder=text_embedder,
+        vae=vae, mesh=mesh, magcache=magcache)
