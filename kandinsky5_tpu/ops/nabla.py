@@ -8,15 +8,28 @@ TPU:
     (T, H/8, W/8) tile grid. Static per generation; computed on host.
   * :func:`nabla_block_mask` — per-call adaptive mask: mean-pool Q/K over
     64-token blocks, softmax(QK^T/sqrt(D)), keep blocks covering top-CDF
-    mass >= P, OR with STA. Dense-small XLA compute ((s1, s1) is at most
-    1464^2 for 10s) — stays out of Pallas on purpose.
-  * :func:`nabla_attention` — executes attention under the block mask:
-    Pallas block-sparse kernel on TPU, or an XLA masked fallback.
+    mass >= P, OR with STA.
 
-The reference materializes a flex-attention BlockMask; we keep the bool
-block mask (B, H, s1, s1) and derive compact kv index lists for the
-kernel. BLOCK = 64 tokens matches flex BLOCK_SIZE=64
-(models/utils.py:162).
+    The reference finds the top-CDF set by sorting each row
+    (models/utils.py:152-155). XLA sort on TPU measured 200+ s at the
+    10s shape, so the default here finds the same set by *bisecting a
+    probability threshold* t: keep {p >= t} with the largest t whose
+    kept mass >= P — identical semantics up to fp ties, ~25 masked
+    reductions instead of a sort. ``method="sort"`` keeps the exact
+    reference algorithm for parity tests.
+  * :func:`block_mask_to_kv_lists` — compact active-first index lists
+    (the flex BlockMask.from_kv_blocks layout, models/utils.py:159-163)
+    built with cumsum + one scatter instead of argsort.
+  * :func:`nabla_attention` — executes attention under the block mask:
+    the Pallas kernel (ops/sparse_pallas.py) on TPU, or an XLA masked
+    fallback.
+
+TPU-specific approximation (``q_rows``): the Pallas kernel can process
+banks of 8 consecutive 64-token query blocks (one 512-row MXU-shaped
+tile) against the UNION of their rows' active KV blocks. Every (query,
+key) pair the reference attends is still attended — the union only adds
+blocks — so this is a strict superset of the reference mask at ~8x
+fewer DMA programs. ``q_rows=1`` reproduces the reference exactly.
 """
 
 from __future__ import annotations
@@ -58,42 +71,99 @@ def sta_mask(T: int, H: int, W: int, wT: int = 11, wH: int = 3,
     return m.reshape(T * H * W, T * H * W)
 
 
-def nabla_block_mask(q: Array, k: Array, sta: Array, thr: float = 0.9) -> Array:
-    """Adaptive block mask (reference nablaT_v2, models/utils.py:136-163).
-
-    q, k: (B, S, H, D) in fractal order, S divisible by BLOCK.
-    sta: (s1, s1) bool.
-    Returns (B, H, s1, s1) bool.
-    """
+def _attention_map(q: Array, k: Array) -> Array:
+    """Block-pooled softmax map (B, H, s1, s1) fp32 (reference
+    models/utils.py:143-149)."""
     b, s, h, d = q.shape
     s1 = s // BLOCK
     qa = q.reshape(b, s1, BLOCK, h, d).mean(axis=2).astype(jnp.float32)
     ka = k.reshape(b, s1, BLOCK, h, d).mean(axis=2).astype(jnp.float32)
     amap = jnp.einsum("bihd,bjhd->bhij", qa, ka, preferred_element_type=jnp.float32)
-    amap = jax.nn.softmax(amap / math.sqrt(d), axis=-1)
-    # Keep the smallest set of blocks whose probability mass >= thr:
-    # sort ascending, drop the prefix with cumulative mass < 1 - thr.
+    return jax.nn.softmax(amap / math.sqrt(d), axis=-1)
+
+
+def _topcdf_sort(amap: Array, thr: float) -> Array:
+    """Exact reference algorithm: sort ascending, drop the prefix with
+    cumulative mass < 1 - thr (models/utils.py:152-155)."""
     inds = jnp.argsort(amap, axis=-1)
     vals = jnp.take_along_axis(amap, inds, axis=-1)
     cvals = jnp.cumsum(vals, axis=-1)
     keep_sorted = cvals >= (1.0 - thr)
-    # scatter back to original column order (reference gather of argsort)
-    mask = jnp.take_along_axis(keep_sorted, jnp.argsort(inds, axis=-1), axis=-1)
+    return jnp.take_along_axis(keep_sorted, jnp.argsort(inds, axis=-1), axis=-1)
+
+
+def _topcdf_bisect(amap: Array, thr: float, iters: int = 25) -> Array:
+    """Same kept set via threshold bisection: largest t with
+    mass({p >= t}) >= thr. Monotone in t, so ~25 halvings converge to fp
+    precision; ties at the final threshold may differ from the sort by
+    one block (measure-zero for continuous scores)."""
+    lo = jnp.zeros(amap.shape[:-1] + (1,), jnp.float32)
+    hi = jnp.max(amap, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(amap >= mid, amap, 0.0), axis=-1,
+                       keepdims=True)
+        ok = mass >= thr
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return amap >= lo
+
+
+def nabla_block_mask(q: Array, k: Array, sta: Array, thr: float = 0.9,
+                     method: str = "bisect") -> Array:
+    """Adaptive block mask (reference nablaT_v2, models/utils.py:136-163).
+
+    q, k: (B, S, H, D) in fractal order, S divisible by BLOCK.
+    sta: (s1, s1) bool. Returns (B, H, s1, s1) bool.
+    """
+    amap = _attention_map(q, k)
+    if method == "sort":
+        mask = _topcdf_sort(amap, thr)
+    else:
+        mask = _topcdf_bisect(amap, thr)
     return jnp.logical_or(mask, sta[None, None])
 
 
-def block_mask_to_kv_lists(mask: Array) -> Tuple[Array, Array]:
-    """Compact (B, H, s1, s1) bool mask into per-row kv block lists.
+def group_union_mask(mask: Array, q_rows: int) -> Array:
+    """Union the mask over groups of ``q_rows`` consecutive query blocks:
+    (B, H, s1, s1) -> (B, H, s1//q_rows, s1)."""
+    b, h, s1, _ = mask.shape
+    return mask.reshape(b, h, s1 // q_rows, q_rows, s1).any(axis=3)
 
-    Returns (kv_inds, kv_nb): kv_inds (B, H, s1, s1) int32 with the
-    active block columns first (ascending within the active set), and
-    kv_nb (B, H, s1) int32 counts — the same representation flex's
-    BlockMask.from_kv_blocks consumes (reference models/utils.py:159-163).
+
+def block_mask_to_kv_lists(mask: Array) -> Tuple[Array, Array]:
+    """Compact a (..., rows, s1) bool mask into per-row kv block lists.
+
+    Returns (kv_inds, kv_nb): kv_inds (..., rows, s1) int32 with the
+    active block columns first (ascending within each partition) and
+    kv_nb (..., rows) int32 counts — the flex BlockMask.from_kv_blocks
+    layout (reference models/utils.py:159-163). Built with cumsum + one
+    scatter (no sort).
     """
-    kv_nb = mask.sum(axis=-1).astype(jnp.int32)
-    # stable argsort of ~mask puts active columns first, preserving order
-    kv_inds = jnp.argsort(~mask, axis=-1, stable=True).astype(jnp.int32)
-    return kv_inds, kv_nb
+    s1 = mask.shape[-1]
+    nb = mask.sum(axis=-1).astype(jnp.int32)
+    act_pos = jnp.cumsum(mask, axis=-1) - 1
+    inact_pos = nb[..., None] + jnp.cumsum(~mask, axis=-1) - 1
+    pos = jnp.where(mask, act_pos, inact_pos).astype(jnp.int32)
+    cols = jnp.broadcast_to(
+        jnp.arange(s1, dtype=jnp.int32), mask.shape)
+    # scatter cols to their positions: inds[..., pos[j]] = j
+    inds = _scatter_last(pos, cols)
+    return inds, nb
+
+
+def _scatter_last(pos: Array, vals: Array) -> Array:
+    """out[..., pos[..., j]] = vals[..., j] along the last axis
+    (pos is a permutation)."""
+    flat_pos = pos.reshape(-1, pos.shape[-1])
+    flat_vals = vals.reshape(-1, vals.shape[-1])
+    out = jnp.zeros_like(flat_vals)
+    rows = jnp.arange(flat_pos.shape[0])[:, None]
+    out = out.at[rows, flat_pos].set(flat_vals)
+    return out.reshape(pos.shape)
 
 
 def masked_block_attention_xla(
@@ -128,20 +198,27 @@ def nabla_attention(
     sta: Array,
     thr: float = 0.9,
     impl: str = "auto",
+    q_rows: int = 8,
 ) -> Array:
     """Full NABLA path: adaptive mask + block-sparse attention.
 
-    q, k, v: (B, S, H, D) in fractal token order.
+    q, k, v: (B, S, H, D) in fractal token order. ``q_rows`` > 1 enables
+    the banked union kernel (see module docstring).
     """
-    mask = nabla_block_mask(q, k, sta, thr=thr)
-    if impl == "xla":
-        return masked_block_attention_xla(q, k, v, mask)
     from kandinsky5_tpu.ops.sparse_pallas import (
         sparse_attention,
         sparse_supported,
     )
 
-    if impl == "sparse" or (impl == "auto" and sparse_supported(q)):
-        kv_inds, kv_nb = block_mask_to_kv_lists(mask)
-        return sparse_attention(q, k, v, kv_inds, kv_nb)
-    return masked_block_attention_xla(q, k, v, mask)
+    use_sparse = impl == "sparse" or (impl == "auto" and sparse_supported(q))
+    method = "bisect" if use_sparse else "sort"
+    mask = nabla_block_mask(q, k, sta, thr=thr, method=method)
+    if not use_sparse:
+        return masked_block_attention_xla(q, k, v, mask)
+    if q_rows > 1 and mask.shape[-2] % q_rows == 0:
+        gmask = group_union_mask(mask, q_rows)
+    else:
+        q_rows = 1
+        gmask = mask
+    kv_inds, kv_nb = block_mask_to_kv_lists(gmask)
+    return sparse_attention(q, k, v, kv_inds, kv_nb, q_rows=q_rows)
