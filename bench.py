@@ -1,15 +1,16 @@
-"""Benchmark: end-to-end denoise latency of the flagship configs.
+"""Benchmark: end-to-end 5s distill-16 latency (DiT denoise + VAE decode).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = value / baseline_seconds (<1.0 beats the reference's H100
-number from BASELINE.md; target for 5s distill-16 is 35 s end-to-end on
-v5e-8 — this harness currently measures the DiT denoise loop on however
-many chips are visible).
+vs_baseline = value / 35.0 (<1.0 beats the reference's H100 distill-5s
+end-to-end number, BASELINE.md; that target assumes v5e-8 — this
+harness runs on however many chips are visible, currently one).
 
-Timing notes: on the tunneled axon backend ``block_until_ready`` does
-not synchronize and host fetches are slow (~10 MB/s), so we time a
-scalar fetch of a reduction of the output — one round trip (~30 ms)
-included, negligible at these scales.
+Flags: --quick (2 denoise steps, skip VAE), --nabla (additionally
+report one 10s NABLA layer call on stderr).
+
+Timing notes: through the tunneled axon backend ``block_until_ready``
+does not synchronize and host fetches are slow (~10 MB/s), so each
+phase is timed by fetching a scalar reduction (one ~30 ms round trip).
 """
 
 import json
@@ -22,7 +23,12 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync_scalar(x):
+    return float(jnp.sum(x[(0,) * (x.ndim - 1)][..., :1].astype(jnp.float32)))
+
+
 def main():
+    import kandinsky5_tpu  # noqa: F401  enables the persistent compile cache
     from kandinsky5_tpu.config import DiTParams
     from kandinsky5_tpu.models.dit import fast_init_dit_params
     from kandinsky5_tpu.sampling import DenoiseSpec, denoise
@@ -50,28 +56,70 @@ def main():
     mask = jnp.ones((1, L), bool)
     skip = jnp.zeros((num_steps, 2), bool)
 
-    def run():
+    def run_denoise():
         out = denoise(params, spec, noise, te, pe, mask, te, pe, mask, skip)
-        # scalar fetch forces real synchronization through the tunnel
-        return float(jnp.sum(out[0, 0, 0, 0]))
+        _sync_scalar(out)
+        return out
 
     t0 = time.perf_counter()
-    run()
-    compile_and_first = time.perf_counter() - t0
-
+    latents = run_denoise()
+    compile_denoise = time.perf_counter() - t0
     t0 = time.perf_counter()
-    run()
-    dt = time.perf_counter() - t0
+    latents = run_denoise()
+    t_denoise = time.perf_counter() - t0
 
+    t_vae = 0.0
+    if not quick:
+        from kandinsky5_tpu.models.vae import HunyuanVideoVAE, init_vae_params
+
+        vae = HunyuanVideoVAE(
+            init_vae_params(jax.random.PRNGKey(1), dtype=jnp.bfloat16),
+            dtype=jnp.bfloat16)
+
+        def run_decode():
+            video = vae.decode(latents.astype(jnp.bfloat16))
+            _sync_scalar(video)
+
+        t0 = time.perf_counter()
+        run_decode()
+        compile_vae = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_decode()
+        t_vae = time.perf_counter() - t0
+        print(f"# vae decode: compile+first {compile_vae:.1f}s, "
+              f"steady {t_vae:.1f}s", file=sys.stderr)
+
+    total = t_denoise + t_vae
     baseline = 35.0  # H100 distill-16 5s end-to-end (BASELINE.md)
     print(json.dumps({
-        "metric": "5s_distill16_dit_denoise_seconds",
-        "value": round(dt, 2),
+        "metric": "5s_distill16_denoise_plus_vae_seconds",
+        "value": round(total, 2),
         "unit": "s",
-        "vs_baseline": round(dt / baseline, 3),
+        "vs_baseline": round(total / baseline, 3),
     }))
-    print(f"# compile+first: {compile_and_first:.1f}s, steps={num_steps}, "
-          f"devices={len(jax.devices())}", file=sys.stderr)
+    print(f"# denoise: compile+first {compile_denoise:.1f}s, steady "
+          f"{t_denoise:.1f}s ({num_steps} steps); devices="
+          f"{len(jax.devices())}", file=sys.stderr)
+
+    if "--nabla" in sys.argv:
+        import functools
+
+        from kandinsky5_tpu.ops.nabla import nabla_attention, sta_mask
+
+        B, H, D = 2, 28, 64
+        s1 = 61 * 4 * 6
+        S = s1 * 64
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
+        sta = jnp.asarray(sta_mask(61, 4, 6, 11, 3, 3))
+        f = jax.jit(functools.partial(nabla_attention, thr=0.9, impl="sparse"))
+        _sync_scalar(f(q, k, v, sta))
+        t0 = time.perf_counter()
+        _sync_scalar(f(q, k, v, sta))
+        print(f"# nabla 10s layer call: {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -42,16 +42,34 @@ class Kandinsky5T2VPipeline:
         vae=None,
         mesh=None,
         magcache: bool = False,
+        offload: bool = False,
     ):
-        self.dit_params = dit_params
+        from kandinsky5_tpu.utils.offload import ParamStore
+
         self.conf = conf
         self.text_embedder = text_embedder
         self.vae = vae
         self.mesh = mesh
         self.magcache = magcache
+        self.offload = offload
+        # host-RAM staging between stages (reference --offload analog,
+        # generation_utils.py:164-226)
+        self._dit_store = ParamStore(dit_params, offload=offload)
+        self._vae_store = (ParamStore(vae.params, offload=True)
+                           if offload and vae is not None else None)
+        self._text_stores = None
+        if offload and text_embedder is not None:
+            self._text_stores = (
+                ParamStore(text_embedder.qwen_params, offload=True),
+                ParamStore(text_embedder.clip_params, offload=True),
+            )
         self.resolution = conf.resolution
         if self.resolution not in RESOLUTIONS:
             raise ValueError("Resolution can be only 512")
+
+    @property
+    def dit_params(self):
+        return self._dit_store.params
 
     def _spec(self, num_steps, guidance_weight, scheduler_scale) -> DenoiseSpec:
         m = self.conf.model
@@ -102,11 +120,19 @@ class Kandinsky5T2VPipeline:
         type_of_content = "image" if time_length == 0 else "video"
 
         caption = text
+        if self._text_stores is not None:
+            self.text_embedder.qwen_params = self._text_stores[0].stage()
+            self.text_embedder.clip_params = self._text_stores[1].stage()
         if expand_prompts:
             caption = self.expand_prompt(caption)
 
         cond = self.text_embedder.encode([caption], type_of_content)
         uncond = self.text_embedder.encode([negative_caption], type_of_content)
+        if self._text_stores is not None:
+            self._text_stores[0].unstage()
+            self._text_stores[1].unstage()
+            self.text_embedder.qwen_params = None
+            self.text_embedder.clip_params = None
 
         latent_shape = (1, num_frames, height // 8, width // 8, 16)
         spec = self._spec(num_steps, guidance_weight, scheduler_scale)
@@ -118,12 +144,14 @@ class Kandinsky5T2VPipeline:
                     "pooled_embed": uncond.pooled_embed, "mask": uncond.mask}
 
         t0 = time.time()
-        latents = generate_latents(self.dit_params, spec, latent_shape,
+        dit_params = self._dit_store.stage()
+        latents = generate_latents(dit_params, spec, latent_shape,
                                    cond_d, uncond_d, seed=seed, magcache=mag)
         if progress:
             latents.block_until_ready()
             print(f"denoise: {time.time() - t0:.1f}s "
                   f"({num_steps} steps, cfg={spec.use_cfg})")
+        self._dit_store.unstage()
 
         # latent -> pixels (reference generation_utils.py:210-222)
         frames = self.decode_latents(latents)
@@ -134,11 +162,17 @@ class Kandinsky5T2VPipeline:
 
     def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
         """(B, T', H', W', 16) -> (B, T, H, W, 3) uint8 frames."""
+        if self._vae_store is not None:
+            self.vae.params = self._vae_store.stage()
         z = latents / self.vae.scaling_factor
         video = self.vae.decode(z)
         video = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
         video = ((video + 1.0) * 127.5).astype(jnp.uint8)
-        return np.asarray(video)
+        out = np.asarray(video)  # forces completion before unstaging
+        if self._vae_store is not None:
+            self._vae_store.unstage()
+            self.vae.params = None
+        return out
 
     def save(self, frames: np.ndarray, save_path: Union[str, List[str]],
              time_length: int) -> None:
@@ -205,4 +239,4 @@ def get_T2V_pipeline(
 
     return Kandinsky5T2VPipeline(
         dit_params=dit_params, conf=conf, text_embedder=text_embedder,
-        vae=vae, mesh=mesh, magcache=magcache)
+        vae=vae, mesh=mesh, magcache=magcache, offload=offload)
