@@ -48,17 +48,34 @@ def load_sharded_safetensors(path: str) -> Dict[str, np.ndarray]:
 def write_video(path: str, frames: np.ndarray, fps: int = 24,
                 crf: int = 5) -> None:
     """frames: (T, H, W, 3) uint8 -> mp4 (reference writes crf 5 @ 24fps,
-    t2v_pipeline.py:183-188)."""
-    import imageio.v2 as imageio
+    t2v_pipeline.py:183-188).
 
-    writer = imageio.get_writer(
-        path, fps=fps, codec="libx264", quality=None,
-        ffmpeg_params=["-crf", str(crf), "-pix_fmt", "yuv420p"])
+    Encoder chain: native C++ writer (native/video_writer.cc, piping
+    y4m into ffmpeg) -> imageio/ffmpeg -> raw .y4m via the native
+    writer when no encoder binary exists (this environment ships none).
+    """
+    from kandinsky5_tpu.utils.native_video import write_video_native
+
+    if write_video_native(path, frames, fps=fps, crf=crf):
+        return
     try:
-        for frame in frames:
-            writer.append_data(frame)
-    finally:
-        writer.close()
+        import imageio.v2 as imageio
+
+        writer = imageio.get_writer(
+            path, fps=fps, codec="libx264", quality=None,
+            ffmpeg_params=["-crf", str(crf), "-pix_fmt", "yuv420p"])
+        try:
+            for frame in frames:
+                writer.append_data(frame)
+        finally:
+            writer.close()
+        return
+    except Exception:
+        pass
+    y4m = path.rsplit(".", 1)[0] + ".y4m"
+    if not write_video_native(y4m, frames, fps=fps):
+        raise RuntimeError("no usable video encoder (native/ffmpeg/imageio)")
+    print(f"note: no mp4 encoder available; wrote raw {y4m}")
 
 
 def write_image(path: str, frame: np.ndarray) -> None:
