@@ -220,7 +220,10 @@ def dit_visual_blocks(
         # sequence-parallel residual stream between blocks
         return constrain_seq(out), None
 
-    visual, _ = jax.lax.scan(body, visual, params["visual_transformer_blocks"])
+    # remat each block: free at inference (no backward), and keeps the
+    # 32-deep backward inside HBM for training.py
+    visual, _ = jax.lax.scan(jax.checkpoint(body), visual,
+                             params["visual_transformer_blocks"])
     return visual
 
 
