@@ -41,12 +41,17 @@ def main():
 
     # 5s distill config: 16 NFE, no CFG (guidance 1.0), 768x512
     # latent (31, 64, 96, 16) -> 47,616 visual tokens (BASELINE.md)
-    num_steps = 2 if quick else 16
+    # NOTE: single device executions beyond ~2 min can crash the
+    # tunneled TPU worker, so the 16 NFE run is measured as 4 chunks of
+    # 4 steps (same compute; chunk boundaries add 4 host round trips)
+    chunk_steps = 2 if quick else 4
+    n_chunks = 1 if quick else 4
     spec = DenoiseSpec(
-        dit_params=cfg, num_steps=num_steps, guidance_weight=1.0,
+        dit_params=cfg, num_steps=chunk_steps, guidance_weight=1.0,
         scheduler_scale=5.0, scale_factor=(1.0, 2.0, 2.0),
         attention_type="flash", attn_impl="auto",
     )
+    num_steps = chunk_steps * n_chunks
 
     rng = np.random.RandomState(0)
     L = 256
@@ -54,12 +59,14 @@ def main():
     te = jnp.asarray(rng.randn(1, L, cfg.in_text_dim), jnp.bfloat16)
     pe = jnp.asarray(rng.randn(1, cfg.in_text_dim2), jnp.bfloat16)
     mask = jnp.ones((1, L), bool)
-    skip = jnp.zeros((num_steps, 2), bool)
+    skip = jnp.zeros((chunk_steps, 2), bool)
 
     def run_denoise():
-        out = denoise(params, spec, noise, te, pe, mask, te, pe, mask, skip)
-        _sync_scalar(out)
-        return out
+        x = noise
+        for _ in range(n_chunks):
+            x = denoise(params, spec, x, te, pe, mask, te, pe, mask, skip)
+            _sync_scalar(x)
+        return x
 
     t0 = time.perf_counter()
     latents = run_denoise()
@@ -70,7 +77,15 @@ def main():
 
     t_vae = 0.0
     if not quick:
+        import gc
+
         from kandinsky5_tpu.models.vae import HunyuanVideoVAE, init_vae_params
+
+        # free the 4GB DiT params before the decoder's full-res
+        # activations land (single chip HBM budget)
+        params = None
+        run_denoise = None
+        gc.collect()
 
         vae = HunyuanVideoVAE(
             init_vae_params(jax.random.PRNGKey(1), dtype=jnp.bfloat16),

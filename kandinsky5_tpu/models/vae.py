@@ -307,9 +307,12 @@ class HunyuanVideoVAE:
     temporal_compression = 4
     scaling_factor = SCALING_FACTOR
 
-    def __init__(self, params, dtype=jnp.bfloat16):
+    def __init__(self, params, dtype=jnp.bfloat16, mesh=None):
         self.params = params
         self.dtype = dtype
+        # optional device mesh: temporal tiles are decoded as one
+        # dp-sharded batch (they are independent until blending)
+        self.mesh = mesh
         # tiling state, set per call from the OPT tables (reference
         # apply_tiling, vae.py:1230-1243)
         self.tile_sample_min_num_frames = 16
@@ -425,13 +428,43 @@ class HunyuanVideoVAE:
         blend_f = (self.tile_sample_min_num_frames
                    - self.tile_sample_stride_num_frames)
 
-        row = []
-        for i in range(0, tf - t_lat_f + 1, s_lat_f):
-            tile = z[:, i:i + t_lat_f + 1]
-            decoded = self._spatial_decode(tile)
-            if i > 0:
-                decoded = decoded[:, 1:]
-            row.append(decoded)
+        starts = list(range(0, tf - t_lat_f + 1, s_lat_f))
+        full = [i for i in starts if i + t_lat_f + 1 <= tf]
+        if self.mesh is not None and len(full) > 1:
+            # batch the equally-shaped tiles and decode them in one
+            # dp-sharded call — each device takes a subset of tiles.
+            # Ragged boundary tiles (shorter time extent) decode
+            # separately: GroupNorm is not time-causal, so padding them
+            # would change the result.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tiles = jnp.concatenate(
+                [z[:, i:i + t_lat_f + 1] for i in full], axis=0)
+            n_dev = self.mesh.shape.get("dp", 1)
+            pad = (-tiles.shape[0]) % n_dev
+            if pad:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.zeros((pad, *tiles.shape[1:]), tiles.dtype)],
+                    axis=0)
+            tiles = jax.device_put(tiles, NamedSharding(self.mesh, P("dp")))
+            decoded_all = _decode_tile(self.params, tiles)
+            decoded_by_start = {
+                i: decoded_all[j * b:(j + 1) * b] for j, i in enumerate(full)}
+            row = []
+            for i in starts:
+                if i in decoded_by_start:
+                    d = decoded_by_start[i]
+                else:
+                    d = self._spatial_decode(z[:, i:i + t_lat_f + 1])
+                row.append(d[:, 1:] if i > 0 else d)
+        else:
+            row = []
+            for i in starts:
+                tile = z[:, i:i + t_lat_f + 1]
+                decoded = self._spatial_decode(tile)
+                if i > 0:
+                    decoded = decoded[:, 1:]
+                row.append(decoded)
 
         result = []
         for i, tile in enumerate(row):
