@@ -91,7 +91,7 @@ class Kandinsky5T2VPipeline:
 
     def __call__(
         self,
-        text: str,
+        text: Union[str, List[str]],
         time_length: int = 5,  # seconds; 0 => single image
         width: int = 768,
         height: int = 512,
@@ -119,22 +119,24 @@ class Kandinsky5T2VPipeline:
         num_frames = 1 if time_length == 0 else time_length * 24 // 4 + 1
         type_of_content = "image" if time_length == 0 else "video"
 
-        caption = text
+        captions = [text] if isinstance(text, str) else list(text)
         if self._text_stores is not None:
             self.text_embedder.qwen_params = self._text_stores[0].stage()
             self.text_embedder.clip_params = self._text_stores[1].stage()
         if expand_prompts:
-            caption = self.expand_prompt(caption)
+            captions = [self.expand_prompt(c) for c in captions]
 
-        cond = self.text_embedder.encode([caption], type_of_content)
-        uncond = self.text_embedder.encode([negative_caption], type_of_content)
+        batch = len(captions)
+        cond = self.text_embedder.encode(captions, type_of_content)
+        uncond = self.text_embedder.encode([negative_caption] * batch,
+                                           type_of_content)
         if self._text_stores is not None:
             self._text_stores[0].unstage()
             self._text_stores[1].unstage()
             self.text_embedder.qwen_params = None
             self.text_embedder.clip_params = None
 
-        latent_shape = (1, num_frames, height // 8, width // 8, 16)
+        latent_shape = (batch, num_frames, height // 8, width // 8, 16)
         spec = self._spec(num_steps, guidance_weight, scheduler_scale)
         mag = self.conf.magcache if self.magcache else None
 

@@ -139,17 +139,20 @@ def denoise(
 ) -> Array:
     """Run the full Euler flow-matching integration.
 
-    noise: (1, T, H, W, C) float32 seed latent.
-    text/null embeds: (1, L, in_text_dim); pooled: (1, in_text_dim2);
-    masks: (1, L) bool.
+    noise: (B, T, H, W, C) float32 seed latents (B prompts batched; the
+    reference is single-prompt, generation_utils.py:132).
+    text/null embeds: (B, L, in_text_dim); pooled: (B, in_text_dim2);
+    masks: (B, L) bool.
     skip_schedule: (num_steps, 2) bool MagCache plan (all-False = off).
     Returns the final latent, same shape/dtype as ``noise``.
     """
     cfg = spec.dit_params
     use_cfg = spec.use_cfg
-    b_eff = 2 if use_cfg else 1
+    batch = noise.shape[0]
+    b_eff = 2 * batch if use_cfg else batch
 
     if use_cfg:
+        # [cond_0..cond_B-1, uncond_0..uncond_B-1]
         text = jnp.concatenate([text_embeds, null_text_embeds], axis=0)
         pooled = jnp.concatenate([pooled_embed, null_pooled_embed], axis=0)
         mask = jnp.concatenate([text_mask, null_text_mask], axis=0)
@@ -181,8 +184,9 @@ def denoise(
             model_in = jnp.concatenate([x, zeros, zmask], axis=-1)
         else:
             model_in = x
-        model_in = jnp.broadcast_to(
-            model_in, (b_eff, *model_in.shape[1:])).astype(pdtype)
+        if use_cfg:
+            model_in = jnp.concatenate([model_in, model_in], axis=0)
+        model_in = model_in.astype(pdtype)
 
         time_vec = jnp.full((b_eff,), t * 1000.0, jnp.float32)
         visual, text_o, time_embed, rope, _ = dit_prologue(
@@ -197,7 +201,7 @@ def denoise(
             # per-branch skip: branches flagged skip reuse the cached
             # residual even when the other branch runs
             # (reference magcache_utils.py:79-87)
-            sk = skip[:b_eff, None, None]
+            sk = skip_b[:, None, None]
             out = jnp.where(sk, visual_in + res_in, out)
             new_res = jnp.where(sk, res_in, new_res)
             return out, new_res
@@ -205,14 +209,21 @@ def denoise(
         def skip_blocks(visual_in, res_in):
             return visual_in + res_in, res_in
 
-        any_run = ~jnp.all(skip[:b_eff])
+        if use_cfg:
+            # cond rows share skip[0], uncond rows skip[1]
+            skip_b = jnp.concatenate([
+                jnp.broadcast_to(skip[0], (batch,)),
+                jnp.broadcast_to(skip[1], (batch,))])
+        else:
+            skip_b = jnp.broadcast_to(skip[0], (batch,))
+        any_run = ~jnp.all(skip_b)
         visual, residual = jax.lax.cond(
             any_run, run_blocks, skip_blocks, visual, residual)
 
         pred = dit_epilogue(params, cfg, visual, time_embed, grid, to_fractal)
         pred = pred.astype(jnp.float32)
         if use_cfg:
-            v_cond, v_uncond = pred[:1], pred[1:]
+            v_cond, v_uncond = pred[:batch], pred[batch:]
             velocity = v_uncond + spec.guidance_weight * (v_cond - v_uncond)
         else:
             velocity = pred
@@ -236,10 +247,11 @@ def generate_latents(
 ) -> Array:
     """Host-side wrapper: seed noise + schedule + jitted denoise.
 
-    cond/uncond: {"text_embeds": (1,L,D), "pooled_embed": (1,P),
-    "mask": (1,L) bool}. ``noise`` overrides the seeded Gaussian (parity
-    tests inject the torch reference's noise here — JAX cannot reproduce
-    torch RNG streams).
+    cond/uncond: {"text_embeds": (B,L,D), "pooled_embed": (B,P),
+    "mask": (B,L) bool} — B prompts denoise as one batch (a framework
+    extension; the reference is single-prompt). ``noise`` overrides the
+    seeded Gaussian (parity tests inject the torch reference's noise
+    here — JAX cannot reproduce torch RNG streams).
     """
     if noise is None:
         key = jax.random.PRNGKey(seed)
