@@ -68,11 +68,10 @@ def convert_dit_state_dict(
 
     for coll, by_idx in blocks.items():
         n = expected_blocks[coll]
-        assert sorted(by_idx) == list(range(n)), (
-            f"{coll}: got blocks {sorted(by_idx)}, expected 0..{n - 1}"
+        assert len(by_idx) == n, (
+            f"{coll}: got {len(by_idx)} blocks, expected {n}"
         )
-        stacked = jax.tree.map(lambda *xs: np.stack(xs), *[by_idx[i] for i in range(n)])
-        tree[coll] = stacked
+        tree[coll] = _stack_layers(by_idx)
 
     return jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), tree)
 

@@ -14,7 +14,6 @@ of the QKV projections and avoiding extra transposes outside kernels.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kandinsky5_tpu.config import Config, DiTParams, MagCacheConfig
+from kandinsky5_tpu.config import DiTParams, MagCacheConfig
 from kandinsky5_tpu.models.dit import (
     SparseParams,
     dit_epilogue,
