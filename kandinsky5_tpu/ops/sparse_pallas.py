@@ -12,8 +12,9 @@ Kernel structure (paged-attention style):
     addressing);
   * KV blocks are fetched in groups of GROUP=8 (512 tokens) with
     double-buffered async DMA overlapping the MXU;
-  * q/k/v are lane-padded to 128 (manual DMA slices must be
-    128-aligned); zero padding changes nothing numerically;
+  * k and v are packed lane-wise into one (bh, s1, 64, 2d) HBM array:
+    manual DMAs need 128-aligned lane extents (d=64 alone is rejected),
+    and the packing halves the DMA count — one copy fetches both;
   * fixed-shift softmax — NABLA runs only inside the DiT's QK-RMSNorm'd
     self-attention, so scores are bounded (see flash_pallas.py).
 
@@ -50,13 +51,13 @@ def sparse_supported(q: Array) -> bool:
     return s % (BLOCK * GROUP) == 0 and s1 % 8 == 0 and d in (64, 128)
 
 
-def _kernel(nb_ref, inds_ref, shift_ref, q_ref, k_hbm, v_hbm, o_ref,
-            kbuf, vbuf, sems, acc_ref, l_ref, *, s1: int, d: int,
-            d_out: int, scale: float, bank_rows: int):
+def _kernel(nb_ref, inds_ref, shift_ref, q_ref, kv_hbm, o_ref,
+            kvbuf, sems, acc_ref, l_ref, *, s1: int, d: int,
+            scale: float, bank_rows: int):
     """One (batch*head, q-bank) program.
 
-    q/k/v arrive lane-padded to d=128 (manual DMA slices must be
-    128-aligned on lanes); the zero padding changes nothing numerically.
+    kv_hbm: (bh, s1, BLOCK, 2d) lane-packed K||V blocks; each DMA copies
+    one full (BLOCK, 2d) sub-array (128-lane aligned for d=64).
     nb_ref: (1, 1, n_banks) SMEM counts; inds_ref: (1, bank_rows, s1)
     SMEM block packing ``bank_rows`` banks' index lists (revisited by the
     index map to satisfy SMEM tile-shape rules); ``row`` selects this
@@ -69,35 +70,18 @@ def _kernel(nb_ref, inds_ref, shift_ref, q_ref, k_hbm, v_hbm, o_ref,
     shift = shift_ref[0]
     nsteps = (nb + GROUP - 1) // GROUP
 
+    def group_dma(g, slot, p):
+        idx = inds_ref[0, row, jnp.minimum(g * GROUP + p, s1 - 1)]
+        return pltpu.make_async_copy(
+            kv_hbm.at[bh_idx, idx], kvbuf.at[slot, p], sems.at[slot, p])
+
     def start_group(g, slot):
-        base = g * GROUP
         for p in range(GROUP):
-            idx = inds_ref[0, row, jnp.minimum(base + p, s1 - 1)]
-            pltpu.make_async_copy(
-                k_hbm.at[bh_idx, pl.ds(idx * BLOCK, BLOCK), :],
-                kbuf.at[slot, p],
-                sems.at[slot, 2 * p],
-            ).start()
-            pltpu.make_async_copy(
-                v_hbm.at[bh_idx, pl.ds(idx * BLOCK, BLOCK), :],
-                vbuf.at[slot, p],
-                sems.at[slot, 2 * p + 1],
-            ).start()
+            group_dma(g, slot, p).start()
 
     def wait_group(g, slot):
-        base = g * GROUP
         for p in range(GROUP):
-            idx = inds_ref[0, row, jnp.minimum(base + p, s1 - 1)]
-            pltpu.make_async_copy(
-                k_hbm.at[bh_idx, pl.ds(idx * BLOCK, BLOCK), :],
-                kbuf.at[slot, p],
-                sems.at[slot, 2 * p],
-            ).wait()
-            pltpu.make_async_copy(
-                v_hbm.at[bh_idx, pl.ds(idx * BLOCK, BLOCK), :],
-                vbuf.at[slot, p],
-                sems.at[slot, 2 * p + 1],
-            ).wait()
+            group_dma(g, slot, p).wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     l_ref[...] = jnp.zeros_like(l_ref)
@@ -119,8 +103,9 @@ def _kernel(nb_ref, inds_ref, shift_ref, q_ref, k_hbm, v_hbm, o_ref,
 
         wait_group(g, slot)
 
-        kblk = kbuf[slot].reshape(GROUP * BLOCK, d)
-        vblk = vbuf[slot].reshape(GROUP * BLOCK, d)
+        kv = kvbuf[slot].reshape(GROUP * BLOCK, 2 * d)
+        kblk = kv[:, :d]
+        vblk = kv[:, d:]
         s = jax.lax.dot_general(
             q, kblk,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -142,22 +127,22 @@ def _kernel(nb_ref, inds_ref, shift_ref, q_ref, k_hbm, v_hbm, o_ref,
 
     jax.lax.fori_loop(0, nsteps, body, 0)
     l = jnp.maximum(l_ref[:, :1], 1e-30)
-    o_ref[0] = (acc_ref[:, :d_out] / l).astype(o_ref.dtype)
+    o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("d_out", "q_rows", "interpret"))
-def _sparse_bhld(q: Array, k: Array, v: Array, kv_inds: Array, kv_nb: Array,
-                 shift: Array, d_out: int, q_rows: int,
+@functools.partial(jax.jit, static_argnames=("q_rows", "interpret"))
+def _sparse_bhld(q: Array, kv: Array, kv_inds: Array, kv_nb: Array,
+                 shift: Array, q_rows: int,
                  interpret: bool = False) -> Array:
     bh, sq, d = q.shape
-    s1 = k.shape[1] // BLOCK      # kv blocks (q may be bank-padded)
+    s1 = kv.shape[1]              # kv is (bh, s1, BLOCK, 2d)
     n_banks = (sq // BLOCK) // q_rows
     q_block = q_rows * BLOCK
     # SMEM tile-shape rules: the second-to-last block dim must divide by
     # 8 or equal the array dim — pack 8 banks per block, or all of them
     bank_rows = 8 if n_banks % 8 == 0 else n_banks
-    scale = 1.0 / math.sqrt(d_out)
-    kernel = functools.partial(_kernel, s1=s1, d=d, d_out=d_out, scale=scale,
+    scale = 1.0 / math.sqrt(d)
+    kernel = functools.partial(_kernel, s1=s1, d=d, scale=scale,
                                bank_rows=bank_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -171,15 +156,13 @@ def _sparse_bhld(q: Array, k: Array, v: Array, kv_inds: Array, kv_nb: Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),            # shift
             pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),            # q bank
-            pl.BlockSpec(memory_space=pltpu.ANY),             # k (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),             # v (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),             # kv (HBM)
         ],
-        out_specs=pl.BlockSpec((1, q_block, d_out), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, BLOCK, d), q.dtype),        # k buffer
-            pltpu.VMEM((2, GROUP, BLOCK, d), q.dtype),        # v buffer
-            pltpu.SemaphoreType.DMA((2, 2 * GROUP)),
+            pltpu.VMEM((2, GROUP, BLOCK, 2 * d), q.dtype),    # kv buffer
+            pltpu.SemaphoreType.DMA((2, GROUP)),
             pltpu.VMEM((q_block, d), jnp.float32),            # acc
             pltpu.VMEM((q_block, 128), jnp.float32),          # l
         ],
@@ -188,12 +171,12 @@ def _sparse_bhld(q: Array, k: Array, v: Array, kv_inds: Array, kv_nb: Array,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d_out), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_nb, kv_inds, shift, q, k, v)
+    )(kv_nb, kv_inds, shift, q, kv)
 
 
 def sparse_attention(q: Array, k: Array, v: Array, kv_inds: Array,
@@ -224,12 +207,9 @@ def sparse_attention(q: Array, k: Array, v: Array, kv_inds: Array,
         inds = jnp.pad(inds, ((0, 0), (0, bank_pad), (0, 0)))
         nb = jnp.pad(nb, ((0, 0), (0, 0), (0, bank_pad)))
         qf = jnp.pad(qf, ((0, 0), (0, bank_pad * q_rows * BLOCK), (0, 0)))
-    if d < 128:
-        pad = ((0, 0), (0, 0), (0, 128 - d))
-        qf = jnp.pad(qf, pad)
-        kf = jnp.pad(kf, pad)
-        vf = jnp.pad(vf, pad)
-    out = _sparse_bhld(qf, kf, vf, inds, nb, shift, d_out=d, q_rows=q_rows,
+    # lane-packed block-major K||V: one 128-lane-aligned DMA per block
+    kv = jnp.concatenate([kf, vf], axis=-1).reshape(b * h, s1, BLOCK, 2 * d)
+    out = _sparse_bhld(qf, kv, inds, nb, shift, q_rows=q_rows,
                        interpret=interpret)
     out = out[:, :s]
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)

@@ -73,6 +73,10 @@ class Kandinsky5T2VPipeline:
 
     def _spec(self, num_steps, guidance_weight, scheduler_scale) -> DenoiseSpec:
         m = self.conf.model
+        # 10s sequences exhaust a single chip's HBM with the batched CFG
+        # pair; fall back to the reference's sequential scheme there
+        n_dev = 1 if self.mesh is None else int(np.prod(list(self.mesh.shape.values())))
+        sequential_cfg = m.attention.type == "nabla" and n_dev < 2
         return DenoiseSpec(
             dit_params=m.dit_params,
             num_steps=num_steps,
@@ -84,6 +88,7 @@ class Kandinsky5T2VPipeline:
             nabla_wT=m.attention.wT,
             nabla_wH=m.attention.wH,
             nabla_wW=m.attention.wW,
+            sequential_cfg=sequential_cfg,
         )
 
     def expand_prompt(self, prompt: str) -> str:

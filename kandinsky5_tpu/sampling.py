@@ -102,6 +102,10 @@ class DenoiseSpec:
     nabla_wH: int = 3
     nabla_wW: int = 3
     attn_impl: str = "auto"
+    # run the CFG pair as two sequential forwards instead of one batch-2
+    # call (the reference's scheme, generation_utils.py:53-73) — halves
+    # activation memory; used for 10s sequences on a single chip
+    sequential_cfg: bool = False
 
     @property
     def use_cfg(self) -> bool:
@@ -172,30 +176,17 @@ def denoise(
     seq_len = grid[0] * grid[1] * grid[2]
     residual0 = jnp.zeros((b_eff, seq_len, cfg.model_dim), pdtype)
 
-    def step(carry, xs):
-        x, residual = carry
-        t, dt, skip = xs
-
-        if cfg.visual_cond:
-            # concat [x, zeros, zero-mask] -> 33 channels
-            # (reference generation_utils.py:107-114)
-            zeros = jnp.zeros_like(x)
-            zmask = jnp.zeros((*x.shape[:-1], 1), x.dtype)
-            model_in = jnp.concatenate([x, zeros, zmask], axis=-1)
-        else:
-            model_in = x
-        if use_cfg:
-            model_in = jnp.concatenate([model_in, model_in], axis=0)
-        model_in = model_in.astype(pdtype)
-
-        time_vec = jnp.full((b_eff,), t * 1000.0, jnp.float32)
+    def dit_call(model_in, text_i, pooled_i, mask_i, t, skip_b, residual_i):
+        """One DiT evaluation with MagCache skip/residual handling."""
+        nb = model_in.shape[0]
+        time_vec = jnp.full((nb,), t * 1000.0, jnp.float32)
         visual, text_o, time_embed, rope, _ = dit_prologue(
-            params, cfg, model_in, text, pooled, time_vec, mask,
+            params, cfg, model_in, text_i, pooled_i, time_vec, mask_i,
             spec.scale_factor, spec.attn_impl, to_fractal)
 
         def run_blocks(visual_in, res_in):
             out = dit_visual_blocks(params, cfg, visual_in, text_o, time_embed,
-                                    rope, mask, spec.attn_impl, sparse)
+                                    rope, mask_i, spec.attn_impl, sparse)
             new_res = (out.astype(jnp.float32)
                        - visual_in.astype(jnp.float32)).astype(pdtype)
             # per-branch skip: branches flagged skip reuse the cached
@@ -209,24 +200,46 @@ def denoise(
         def skip_blocks(visual_in, res_in):
             return visual_in + res_in, res_in
 
-        if use_cfg:
-            # cond rows share skip[0], uncond rows skip[1]
-            skip_b = jnp.concatenate([
-                jnp.broadcast_to(skip[0], (batch,)),
-                jnp.broadcast_to(skip[1], (batch,))])
-        else:
-            skip_b = jnp.broadcast_to(skip[0], (batch,))
-        any_run = ~jnp.all(skip_b)
-        visual, residual = jax.lax.cond(
-            any_run, run_blocks, skip_blocks, visual, residual)
-
+        visual, residual_i = jax.lax.cond(
+            ~jnp.all(skip_b), run_blocks, skip_blocks, visual, residual_i)
         pred = dit_epilogue(params, cfg, visual, time_embed, grid, to_fractal)
-        pred = pred.astype(jnp.float32)
-        if use_cfg:
+        return pred.astype(jnp.float32), residual_i
+
+    def step(carry, xs):
+        x, residual = carry
+        t, dt, skip = xs
+
+        if cfg.visual_cond:
+            # concat [x, zeros, zero-mask] -> 33 channels
+            # (reference generation_utils.py:107-114)
+            zeros = jnp.zeros_like(x)
+            zmask = jnp.zeros((*x.shape[:-1], 1), x.dtype)
+            model_in = jnp.concatenate([x, zeros, zmask], axis=-1)
+        else:
+            model_in = x
+        model_in = model_in.astype(pdtype)
+
+        skip_c = jnp.broadcast_to(skip[0], (batch,))
+        skip_u = jnp.broadcast_to(skip[1], (batch,))
+
+        if use_cfg and spec.sequential_cfg:
+            v_cond, res_c = dit_call(model_in, text_embeds, pooled_embed,
+                                     text_mask, t, skip_c, residual[:batch])
+            v_uncond, res_u = dit_call(model_in, null_text_embeds,
+                                       null_pooled_embed, null_text_mask, t,
+                                       skip_u, residual[batch:])
+            residual = jnp.concatenate([res_c, res_u], axis=0)
+            velocity = v_uncond + spec.guidance_weight * (v_cond - v_uncond)
+        elif use_cfg:
+            model_in2 = jnp.concatenate([model_in, model_in], axis=0)
+            skip_b = jnp.concatenate([skip_c, skip_u])
+            pred, residual = dit_call(model_in2, text, pooled, mask, t,
+                                      skip_b, residual)
             v_cond, v_uncond = pred[:batch], pred[batch:]
             velocity = v_uncond + spec.guidance_weight * (v_cond - v_uncond)
         else:
-            velocity = pred
+            velocity, residual = dit_call(model_in, text, pooled, mask, t,
+                                          skip_c, residual)
         x = x + dt * velocity
         return (x, residual), None
 

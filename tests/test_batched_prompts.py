@@ -44,3 +44,28 @@ def test_batched_cfg_denoise_matches_singles():
         np.testing.assert_allclose(np.asarray(batched[i]),
                                    np.asarray(single[0]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_sequential_cfg_matches_batched():
+    """sequential_cfg=True (memory fallback) must match the batched pair."""
+    import dataclasses
+
+    cfg = DiTParams(in_visual_dim=4, out_visual_dim=4, in_text_dim=24,
+                    in_text_dim2=12, time_dim=32, model_dim=64, ff_dim=128,
+                    num_text_blocks=1, num_visual_blocks=2,
+                    axes_dims=(8, 4, 4), visual_cond=False)
+    params = init_dit_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    spec = DenoiseSpec(dit_params=cfg, num_steps=2, guidance_weight=4.0,
+                       scheduler_scale=5.0, scale_factor=(1.0, 2.0, 2.0),
+                       attn_impl="dense")
+    rng = np.random.RandomState(7)
+    cond = _cond(rng, 1, 5, cfg)
+    uncond = _cond(rng, 1, 5, cfg)
+    noise = jnp.asarray(rng.randn(1, 2, 8, 8, 4), jnp.float32)
+    a = generate_latents(params, spec, noise.shape, cond, uncond, seed=0,
+                         noise=noise)
+    spec_seq = dataclasses.replace(spec, sequential_cfg=True)
+    b = generate_latents(params, spec_seq, noise.shape, cond, uncond, seed=0,
+                         noise=noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
