@@ -248,6 +248,98 @@ def denoise(
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def denoise_one_call(params, spec: DenoiseSpec, x: Array, text: Array,
+                     pooled: Array, mask: Array, t: Array, skip_flag: Array,
+                     residual: Array):
+    """One DiT evaluation (single CFG branch) with MagCache residual
+    handling — the building block of the host-driven step loop.
+
+    Exists because some runtimes bound single-execution wall time (the
+    tunneled bench chip kills executions over ~1 min); the fused
+    ``denoise`` scan is the production path.
+    """
+    cfg = spec.dit_params
+    pdtype = params["visual_embeddings"]["in_layer"]["weight"].dtype
+    _, t_lat, h_lat, w_lat, _ = x.shape
+    grid = (t_lat // cfg.patch_size[0], h_lat // cfg.patch_size[1],
+            w_lat // cfg.patch_size[2])
+    sparse = _build_sparse(spec, grid)
+    to_fractal = sparse is not None
+
+    if cfg.visual_cond:
+        zeros = jnp.zeros_like(x)
+        zmask = jnp.zeros((*x.shape[:-1], 1), x.dtype)
+        model_in = jnp.concatenate([x, zeros, zmask], axis=-1)
+    else:
+        model_in = x
+    model_in = model_in.astype(pdtype)
+    nb = model_in.shape[0]
+    time_vec = jnp.full((nb,), t * 1000.0, jnp.float32)
+    visual, text_o, time_embed, rope, _ = dit_prologue(
+        params, cfg, model_in, text, pooled, time_vec, mask,
+        spec.scale_factor, spec.attn_impl, to_fractal)
+
+    def run_blocks(visual_in, res_in):
+        out = dit_visual_blocks(params, cfg, visual_in, text_o, time_embed,
+                                rope, mask, spec.attn_impl, sparse)
+        new_res = (out.astype(jnp.float32)
+                   - visual_in.astype(jnp.float32)).astype(pdtype)
+        sk = skip_flag[None, None, None]
+        out = jnp.where(sk, visual_in + res_in, out)
+        new_res = jnp.where(sk, res_in, new_res)
+        return out, new_res
+
+    def skip_blocks(visual_in, res_in):
+        return visual_in + res_in, res_in
+
+    visual, residual = jax.lax.cond(~skip_flag, run_blocks, skip_blocks,
+                                    visual, residual)
+    pred = dit_epilogue(params, cfg, visual, time_embed, grid, to_fractal)
+    return pred.astype(jnp.float32), residual
+
+
+def denoise_host_loop(
+    params,
+    spec: DenoiseSpec,
+    noise: Array,
+    cond: dict,
+    uncond: dict,
+    skip_schedule,
+) -> Array:
+    """Host-driven Euler loop: one device execution per DiT call (per
+    CFG branch per step). Numerically identical to ``denoise`` with
+    sequential_cfg; use when the runtime bounds execution wall time."""
+    cfg = spec.dit_params
+    pdtype = params["visual_embeddings"]["in_layer"]["weight"].dtype
+    ts = timestep_grid(spec.num_steps, spec.scheduler_scale)
+    grid_prod = (noise.shape[1] // cfg.patch_size[0]
+                 * noise.shape[2] // cfg.patch_size[1]
+                 * noise.shape[3] // cfg.patch_size[2])
+    b = noise.shape[0]
+    res_c = jnp.zeros((b, grid_prod, cfg.model_dim), pdtype)
+    res_u = jnp.zeros((b, grid_prod, cfg.model_dim), pdtype)
+    x = noise
+    for i in range(spec.num_steps):
+        t = jnp.float32(ts[i])
+        dt = jnp.float32(ts[i + 1] - ts[i])
+        v_c, res_c = denoise_one_call(
+            params, spec, x, cond["text_embeds"], cond["pooled_embed"],
+            cond["mask"], t, jnp.bool_(skip_schedule[i, 0]), res_c)
+        if spec.use_cfg:
+            v_u, res_u = denoise_one_call(
+                params, spec, x, uncond["text_embeds"],
+                uncond["pooled_embed"], uncond["mask"], t,
+                jnp.bool_(skip_schedule[i, 1]), res_u)
+            v = v_u + spec.guidance_weight * (v_c - v_u)
+        else:
+            v = v_c
+        x = x + dt * v
+        # force completion so each call is its own bounded execution
+        x.block_until_ready()
+    return x
+
+
 def generate_latents(
     params,
     spec: DenoiseSpec,
@@ -257,6 +349,7 @@ def generate_latents(
     seed: int,
     magcache: Optional[MagCacheConfig] = None,
     noise: Optional[Array] = None,
+    host_loop: bool = False,
 ) -> Array:
     """Host-side wrapper: seed noise + schedule + jitted denoise.
 
@@ -273,6 +366,8 @@ def generate_latents(
         skip = magcache_schedule(magcache, spec.num_steps, no_cfg=not spec.use_cfg)
     else:
         skip = np.zeros((spec.num_steps, 2), dtype=bool)
+    if host_loop:
+        return denoise_host_loop(params, spec, noise, cond, uncond, skip)
     return denoise(
         params, spec, noise,
         cond["text_embeds"], cond["pooled_embed"], cond["mask"],

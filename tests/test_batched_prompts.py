@@ -69,3 +69,24 @@ def test_sequential_cfg_matches_batched():
                          noise=noise)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_host_loop_matches_scan():
+    cfg = DiTParams(in_visual_dim=4, out_visual_dim=4, in_text_dim=24,
+                    in_text_dim2=12, time_dim=32, model_dim=64, ff_dim=128,
+                    num_text_blocks=1, num_visual_blocks=2,
+                    axes_dims=(8, 4, 4), visual_cond=False)
+    params = init_dit_params(jax.random.PRNGKey(9), cfg, dtype=jnp.float32)
+    spec = DenoiseSpec(dit_params=cfg, num_steps=3, guidance_weight=4.0,
+                       scheduler_scale=5.0, scale_factor=(1.0, 2.0, 2.0),
+                       attn_impl="dense")
+    rng = np.random.RandomState(11)
+    cond = _cond(rng, 1, 5, cfg)
+    uncond = _cond(rng, 1, 5, cfg)
+    noise = jnp.asarray(rng.randn(1, 2, 8, 8, 4), jnp.float32)
+    a = generate_latents(params, spec, noise.shape, cond, uncond, seed=0,
+                         noise=noise)
+    b = generate_latents(params, spec, noise.shape, cond, uncond, seed=0,
+                         noise=noise, host_loop=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
