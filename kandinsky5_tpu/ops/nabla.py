@@ -24,12 +24,16 @@ TPU:
     the Pallas kernel (ops/sparse_pallas.py) on TPU, or an XLA masked
     fallback.
 
-TPU-specific approximation (``q_rows``): the Pallas kernel can process
+TPU-specific approximation (``q_rows``): the Pallas kernel processes
 banks of 8 consecutive 64-token query blocks (one 512-row MXU-shaped
-tile) against the UNION of their rows' active KV blocks. Every (query,
-key) pair the reference attends is still attended — the union only adds
-blocks — so this is a strict superset of the reference mask at ~8x
-fewer DMA programs. ``q_rows=1`` reproduces the reference exactly.
+tile) sharing one KV list. The bank's mask is built at bank granularity:
+the STA part is the exact union of its rows' STA windows (a strict
+superset of reference attention), and the adaptive part thresholds the
+bank-pooled attention map (8x cheaper than the reference's per-64-row
+map; rows of one bank are spatially adjacent fractal tiles, so their
+pooled statistics track the per-row ones closely). ``q_rows=1``
+reproduces the reference mask exactly; ``group_union_mask`` offers the
+strict-superset variant of the banked mode.
 """
 
 from __future__ import annotations
@@ -71,12 +75,14 @@ def sta_mask(T: int, H: int, W: int, wT: int = 11, wH: int = 3,
     return m.reshape(T * H * W, T * H * W)
 
 
-def _attention_map(q: Array, k: Array) -> Array:
-    """Block-pooled softmax map (B, H, s1, s1) fp32 (reference
-    models/utils.py:143-149)."""
+def _attention_map(q: Array, k: Array, q_pool: int = BLOCK) -> Array:
+    """Block-pooled softmax map (B, H, s/q_pool, s1) fp32 (reference
+    models/utils.py:143-149 pools both sides over 64; ``q_pool`` > 64
+    pools queries at bank granularity for the banked kernel — 8x less
+    mask work)."""
     b, s, h, d = q.shape
     s1 = s // BLOCK
-    qa = q.reshape(b, s1, BLOCK, h, d).mean(axis=2).astype(jnp.float32)
+    qa = q.reshape(b, s // q_pool, q_pool, h, d).mean(axis=2).astype(jnp.float32)
     ka = k.reshape(b, s1, BLOCK, h, d).mean(axis=2).astype(jnp.float32)
     amap = jnp.einsum("bihd,bjhd->bhij", qa, ka, preferred_element_type=jnp.float32)
     return jax.nn.softmax(amap / math.sqrt(d), axis=-1)
@@ -113,18 +119,24 @@ def _topcdf_bisect(amap: Array, thr: float, iters: int = 25) -> Array:
 
 
 def nabla_block_mask(q: Array, k: Array, sta: Array, thr: float = 0.9,
-                     method: str = "bisect") -> Array:
+                     method: str = "bisect", q_rows: int = 1) -> Array:
     """Adaptive block mask (reference nablaT_v2, models/utils.py:136-163).
 
     q, k: (B, S, H, D) in fractal order, S divisible by BLOCK.
-    sta: (s1, s1) bool. Returns (B, H, s1, s1) bool.
+    sta: (s1, s1) bool. Returns (B, H, s1//q_rows, s1) bool; q_rows > 1
+    pools queries at bank granularity (the STA part becomes the exact
+    union of its rows; the adaptive part thresholds the pooled map).
     """
-    amap = _attention_map(q, k)
+    amap = _attention_map(q, k, q_pool=q_rows * BLOCK)
     if method == "sort":
         mask = _topcdf_sort(amap, thr)
     else:
         mask = _topcdf_bisect(amap, thr)
-    return jnp.logical_or(mask, sta[None, None])
+    sta_g = sta
+    if q_rows > 1:
+        s1 = sta.shape[0]
+        sta_g = sta.reshape(s1 // q_rows, q_rows, s1).any(axis=1)
+    return jnp.logical_or(mask, sta_g[None, None])
 
 
 def group_union_mask(mask: Array, q_rows: int) -> Array:
@@ -211,14 +223,14 @@ def nabla_attention(
     )
 
     use_sparse = impl == "sparse" or (impl == "auto" and sparse_supported(q))
-    method = "bisect" if use_sparse else "sort"
-    mask = nabla_block_mask(q, k, sta, thr=thr, method=method)
     if not use_sparse:
+        mask = nabla_block_mask(q, k, sta, thr=thr, method="sort")
         return masked_block_attention_xla(q, k, v, mask)
-    if q_rows > 1 and mask.shape[-2] % q_rows == 0:
-        gmask = group_union_mask(mask, q_rows)
-    else:
+    s1 = q.shape[1] // BLOCK
+    if s1 % max(q_rows, 1) != 0:
         q_rows = 1
-        gmask = mask
+    # bank-granular mask: 8x cheaper build, feeds the banked kernel
+    gmask = nabla_block_mask(q, k, sta, thr=thr, method="bisect",
+                             q_rows=q_rows)
     kv_inds, kv_nb = block_mask_to_kv_lists(gmask)
     return sparse_attention(q, k, v, kv_inds, kv_nb, q_rows=q_rows)
