@@ -1,0 +1,61 @@
+"""Pallas kernel logic on CPU via interpret mode — CI coverage of the
+TPU kernels without TPU hardware."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kandinsky5_tpu.ops.attention import dense_attention
+from kandinsky5_tpu.ops.flash_pallas import flash_attention
+from kandinsky5_tpu.ops.nabla import (
+    block_mask_to_kv_lists,
+    group_union_mask,
+    masked_block_attention_xla,
+    nabla_block_mask,
+    sta_mask,
+)
+from kandinsky5_tpu.ops.sparse_pallas import sparse_attention
+
+
+def _qkv(key, b, l, h, d):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (b, l, h, d), jnp.float32) for k in ks)
+
+
+def test_flash_interpret_matches_dense():
+    q, k, v = _qkv(jax.random.PRNGKey(0), 1, 1024, 2, 64)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_interpret_kv_mask():
+    q, k, v = _qkv(jax.random.PRNGKey(1), 2, 512, 2, 64)
+    mask = jnp.arange(512)[None, :] < jnp.array([[300], [100]])
+    out = flash_attention(q, k, v, kv_mask=mask, interpret=True)
+    ref = dense_attention(q, k, v, kv_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sparse_interpret_exact_and_banked():
+    key = jax.random.PRNGKey(2)
+    s1 = 16
+    q, k, v = _qkv(key, 1, s1 * 64, 2, 64)
+    sta = jnp.asarray(sta_mask(4, 2, 2, 3, 3, 3))
+    mask = nabla_block_mask(q, k, sta, thr=0.5, method="sort")
+    ki, kn = block_mask_to_kv_lists(mask)
+    out = sparse_attention(q, k, v, ki, kn, q_rows=1, interpret=True)
+    ref = masked_block_attention_xla(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    gmask = group_union_mask(mask, 8)
+    gi, gn = block_mask_to_kv_lists(gmask)
+    out8 = sparse_attention(q, k, v, gi, gn, q_rows=8, interpret=True)
+    ref8 = masked_block_attention_xla(q, k, v, jnp.repeat(gmask, 8, axis=2))
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8),
+                               rtol=2e-5, atol=2e-5)
