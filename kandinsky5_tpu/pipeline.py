@@ -108,6 +108,7 @@ class Kandinsky5T2VPipeline:
         expand_prompts: bool = True,
         save_path: Optional[Union[str, List[str]]] = None,
         progress: bool = True,
+        host_loop: Optional[bool] = None,
     ):
         num_steps = self.conf.model.num_steps if num_steps is None else num_steps
         guidance_weight = (self.conf.model.guidance_weight
@@ -150,10 +151,18 @@ class Kandinsky5T2VPipeline:
         uncond_d = {"text_embeds": uncond.text_embeds,
                     "pooled_embed": uncond.pooled_embed, "mask": uncond.mask}
 
+        if host_loop is None:
+            # escape hatch for runtimes that bound single-execution wall
+            # time (see sampling.denoise_host_loop)
+            import os
+
+            host_loop = os.environ.get("KANDINSKY5_TPU_HOST_LOOP", "") == "1"
+
         t0 = time.time()
         dit_params = self._dit_store.stage()
         latents = generate_latents(dit_params, spec, latent_shape,
-                                   cond_d, uncond_d, seed=seed, magcache=mag)
+                                   cond_d, uncond_d, seed=seed, magcache=mag,
+                                   host_loop=host_loop)
         if progress:
             latents.block_until_ready()
             print(f"denoise: {time.time() - t0:.1f}s "
