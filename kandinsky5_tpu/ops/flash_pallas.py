@@ -52,8 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-BLOCK_Q = 512
-BLOCK_K = 1024
+# measured on v5e at the 5s production shape (47,616 tokens, 28 heads):
+# large q blocks amortize K/V streaming; 512-wide kv blocks beat 1024
+# (VMEM/vreg pressure of the fp32 score tile)
+BLOCK_Q = 1536
+BLOCK_K = 512
 _STAT = 128   # lane-width replication for row statistics kept in VMEM
 _NEG = -1e30  # effective -inf that keeps exp() NaN-free on masked rows
 
@@ -86,38 +89,51 @@ def _block_live(qid_ref, kid_ref, ids_masked):
     return True
 
 
-def _kernel_fixed(q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref, shift_ref,
-                  o_ref, acc_ref, l_ref, *, scale: float, num_k: int,
-                  masked: bool, ids_masked: bool):
-    """Fixed-shift softmax: no running max, exp/sum hide under the MXU."""
+def _kernel_fixed(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, *,
+                  num_k: int, masked: bool, splits: int = 1):
+    """Fixed-shift softmax, fully MXU-folded.
+
+    Inputs arrive 128-lane *augmented* (see ``_augment``): Q carries a
+    ``-shift`` column against K's ones column, so the QK matmul emits
+    ``s - shift`` directly (the K=128 contraction costs the same MXU
+    time as the naive K=64 — the systolic array pads odd contractions);
+    V carries a ones column, so the PV matmul accumulates the softmax
+    normalizer in lane ``d`` for free (N=128 likewise costs the same as
+    N=64). Per-element VPU work is exp + one cast; the normalize/slice
+    epilogue runs outside the kernel as one fused XLA pass.
+    """
     j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        l_ref[...] = jnp.zeros_like(l_ref)
 
-    @pl.when(_block_live(qid_ref, kid_ref, ids_masked))
-    def _update():
+    # the QK -> exp -> PV chain is data-serial within one kv chunk;
+    # splitting the block lets Mosaic overlap one chunk's VPU exp with
+    # the neighbor chunk's MXU matmuls
+    q = q_ref[0]
+    chunk = k_ref.shape[1] // splits
+    for t in range(splits):
+        sl = slice(t * chunk, (t + 1) * chunk)
         s = jax.lax.dot_general(
-            q_ref[0], k_ref[0],
+            q, k_ref[0, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
-        s = _apply_masks(s, mask_ref, qid_ref, kid_ref, masked, ids_masked)
-        p = jnp.exp(s - shift_ref[0])
-        l_ref[...] += jnp.broadcast_to(
-            jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+        )
+        if masked:
+            s = jnp.where(mask_ref[0, :, sl] != 0, s, _NEG)
+        # scores arrive pre-scaled by log2(e) (see _augment): exp2 is the
+        # native VPU transcendental, skipping exp's internal multiply
+        p = jnp.exp2(s)
         acc_ref[...] += jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0],
+            p.astype(v_ref.dtype), v_ref[0, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     @pl.when(j == num_k - 1)
     def _finalize():
-        l = jnp.maximum(l_ref[:, :1], 1e-30)
-        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _kernel_online(q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref, shift_ref,
@@ -161,12 +177,59 @@ def _kernel_online(q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref, shift_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "masked", "ids_masked", "block_q", "block_k", "fixed_shift", "interpret"))
+    "masked", "block_q", "block_k", "splits", "interpret"))
+def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
+                      masked: bool, block_q: int, block_k: int,
+                      splits: int = 1, interpret: bool = False) -> Array:
+    """(BH, L, 128) augmented fixed-shift core (see _kernel_fixed)."""
+    bh, lq, d = q.shape
+    assert d == 128 and k.shape[2] == 128 and v.shape[2] == 128
+    lk = k.shape[1]
+    num_k = lk // block_k
+    h = bh // mask.shape[0]
+    grid = (bh, lq // block_q, num_k)
+    if block_k % splits or (block_k // splits) % 128:
+        splits = 1
+    kernel = functools.partial(_kernel_fixed, num_k=num_k, masked=masked,
+                               splits=splits)
+    flops = 4 * lq * lk * d * bh
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        # f32 out: the normalizer lane must not round to bf16 before the
+        # epilogue divide (0.4% per-row scale error otherwise)
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # bh/q-block dims are independent; kv is the softmax reduction
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * (q.size + k.size + v.size),
+            transcendentals=lq * lk * bh),
+        interpret=interpret,
+    )(q, k, v, mask)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "masked", "ids_masked", "block_q", "block_k", "interpret"))
 def _flash_bhld(q: Array, k: Array, v: Array, mask: Array, q_ids: Array,
                 kv_ids: Array, shift: Array, masked: bool, ids_masked: bool,
-                block_q: int, block_k: int, fixed_shift: bool,
+                block_q: int, block_k: int,
                 interpret: bool = False) -> Array:
-    """(BH, L, D) flash attention core."""
+    """(BH, L, D) online-softmax flash attention core."""
     bh, lq, d = q.shape
     lk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -176,13 +239,10 @@ def _flash_bhld(q: Array, k: Array, v: Array, mask: Array, q_ids: Array,
     scratch = [
         pltpu.VMEM((block_q, d), jnp.float32),
         pltpu.VMEM((block_q, _STAT), jnp.float32),
+        pltpu.VMEM((block_q, _STAT), jnp.float32),
     ]
     kw = dict(scale=scale, num_k=num_k, masked=masked, ids_masked=ids_masked)
-    if fixed_shift:
-        kernel = functools.partial(_kernel_fixed, **kw)
-    else:
-        kernel = functools.partial(_kernel_online, **kw)
-        scratch.append(pltpu.VMEM((block_q, _STAT), jnp.float32))
+    kernel = functools.partial(_kernel_online, **kw)
     flops = 4 * lq * lk * d * bh
     return pl.pallas_call(
         kernel,
@@ -236,6 +296,34 @@ def score_bound(q: Array, k: Array) -> Array:
     return (qn * kn / math.sqrt(d)).reshape(1)
 
 
+def _augment(qf: Array, kf: Array, vf: Array, shift: Array, d: int):
+    """Pack scale/shift/normalizer into the spare lanes of a d%128==64
+    head (one fused XLA pass per tensor, O(S·D) vs the O(S²) kernel):
+
+      q' = [q/sqrt(d), -shift, 0...]   k' = [k, 1, 0...]   v' = [v, 1, 0...]
+
+    so q'·k' = s - shift (the QK matmul absorbs scale and shift) and
+    p·v' carries the softmax normalizer in lane d (the PV matmul absorbs
+    the row sum). The widened K=N=128 contractions cost the same MXU
+    time as d=64 — the systolic array pads odd dimensions anyway.
+    """
+    bh, lq, _ = qf.shape
+    lk = kf.shape[1]
+    aug = d + 64
+    # fold softmax scale AND the exp->exp2 base change into q: the
+    # kernel then computes exp2(q'k' ) = exp(s/sqrt(d) - shift)
+    scale = math.log2(math.e) / math.sqrt(d)
+    zq = jnp.zeros((bh, lq, aug - d - 1), qf.dtype)
+    zk = jnp.zeros((bh, lk, aug - d - 1), kf.dtype)
+    ones = jnp.ones((bh, lk, 1), kf.dtype)
+    neg_shift = jnp.broadcast_to(
+        -shift * math.log2(math.e), (bh, lq, 1)).astype(qf.dtype)
+    qa = jnp.concatenate([qf * scale, neg_shift, zq], axis=-1)
+    ka = jnp.concatenate([kf, ones, zk], axis=-1)
+    va = jnp.concatenate([vf, ones, zk], axis=-1)
+    return qa, ka, va
+
+
 def flash_attention(
     q: Array,
     k: Array,
@@ -246,6 +334,7 @@ def flash_attention(
     block_q: int = BLOCK_Q,
     block_k: int = BLOCK_K,
     fixed_shift: bool = True,
+    splits: int = 1,
     interpret: bool = False,
 ) -> Array:
     """(B, L, H, D) flash attention.
@@ -255,9 +344,15 @@ def flash_attention(
     q_id[i] >= kv_id[j] (causal: ids = arange; VAE frame-causal: ids =
     frame index). ``fixed_shift`` selects the bounded-score softmax —
     only valid when scores are bounded (QK-RMSNorm'd inputs).
+    ``splits`` sub-chunks each kv block inside the kernel so VPU exp
+    overlaps the neighbor chunk's MXU matmuls.
     """
     b, lq, h, d = q.shape
     lk = k.shape[1]
+    # the augmented fixed-shift layout needs the 64 spare lanes of a
+    # d=64 head; other widths and id-masked callers take the online path
+    if q_ids is not None or d % 128 != 64:
+        fixed_shift = False
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
@@ -278,6 +373,17 @@ def flash_attention(
     # the head count, so per-head replication is never materialized
     mask = mask_b[:, None, :]
 
+    if fixed_shift:
+        shift = score_bound(qf, kf)
+        qa, ka, va = _augment(qf, kf, vf, shift, d)
+        raw = _flash_fixed_bhld(qa, ka, va, mask, masked, block_q, block_k,
+                                splits=splits, interpret=interpret)
+        raw = raw[:, :lq_orig]
+        # lane d holds the softmax normalizer (ones column of V)
+        out = (raw[..., :d]
+               / jnp.maximum(raw[..., d:d + 1], 1e-30)).astype(q.dtype)
+        return out.reshape(b, h, lq_orig, d).transpose(0, 2, 1, 3)
+
     ids_masked = q_ids is not None
     if ids_masked:
         # pad kv ids with a huge id so padded keys never pass the >= test;
@@ -293,9 +399,8 @@ def flash_attention(
         qi = jnp.zeros((b, qf.shape[1], 128), jnp.int32)
         ki = jnp.zeros((b, 8, lk_pad), jnp.int32)
 
-    shift = score_bound(qf, kf) if fixed_shift else jnp.zeros((1,), jnp.float32)
-
+    shift = jnp.zeros((1,), jnp.float32)
     out = _flash_bhld(qf, kf, vf, mask, qi, ki, shift, masked, ids_masked,
-                      block_q, block_k, fixed_shift, interpret=interpret)
+                      block_q, block_k, interpret=interpret)
     out = out[:, :lq_orig]
     return out.reshape(b, h, lq_orig, d).transpose(0, 2, 1, 3)
