@@ -60,6 +60,7 @@ class SparseParams(NamedTuple):
 
     sta: Array  # (s1, s1) bool sliding-tile block mask
     P: float  # top-CDF mass threshold
+    max_density: Optional[float] = 0.75  # per-row kept-fraction ceiling
 
 
 def _mod_params(mod_vec: Array, n: int):
@@ -83,7 +84,8 @@ def _self_attention(p, x: Array, rope, num_heads: int, kv_mask, attn_impl: str,
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
     if sparse is not None:
-        out = nabla_attention(q, k, v, sparse.sta, thr=sparse.P, impl=attn_impl)
+        out = nabla_attention(q, k, v, sparse.sta, thr=sparse.P,
+                              impl=attn_impl, max_density=sparse.max_density)
     else:
         out = attention(q, k, v, kv_mask=kv_mask, impl=attn_impl)
     return linear(p["out_layer"], out.reshape(b, l, d))

@@ -118,20 +118,51 @@ def _topcdf_bisect(amap: Array, thr: float, iters: int = 25) -> Array:
     return amap >= lo
 
 
+def _count_cap_threshold(amap: Array, cap_count: int,
+                         iters: int = 25) -> Array:
+    """Per-row threshold t (broadcastable) such that
+    |{p >= t}| <= cap_count — a top-K ceiling found by bisection
+    (count is monotone decreasing in t)."""
+    lo = jnp.zeros(amap.shape[:-1] + (1,), jnp.float32)
+    hi = jnp.max(amap, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        count = jnp.sum(amap >= mid, axis=-1, keepdims=True)
+        over = count > cap_count
+        return jnp.where(over, mid, lo), jnp.where(over, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi
+
+
 def nabla_block_mask(q: Array, k: Array, sta: Array, thr: float = 0.9,
-                     method: str = "bisect", q_rows: int = 1) -> Array:
+                     method: str = "bisect", q_rows: int = 1,
+                     max_density: Optional[float] = None) -> Array:
     """Adaptive block mask (reference nablaT_v2, models/utils.py:136-163).
 
     q, k: (B, S, H, D) in fractal order, S divisible by BLOCK.
     sta: (s1, s1) bool. Returns (B, H, s1//q_rows, s1) bool; q_rows > 1
     pools queries at bank granularity (the STA part becomes the exact
     union of its rows; the adaptive part thresholds the pooled map).
+
+    ``max_density`` adds a per-row top-K ceiling (kept fraction of s1)
+    so the sparse path's worst case — near-uniform attention keeping
+    ~all blocks — never costs more than dense flash. With the released
+    checkpoints attention is peaked (~5-15% kept) and the cap is inert;
+    it only truncates the pathological near-uniform rows where the
+    top-CDF criterion barely discriminates anyway.
     """
     amap = _attention_map(q, k, q_pool=q_rows * BLOCK)
     if method == "sort":
         mask = _topcdf_sort(amap, thr)
     else:
         mask = _topcdf_bisect(amap, thr)
+    if max_density is not None and max_density < 1.0:
+        cap = max(1, int(amap.shape[-1] * max_density))
+        t_cap = _count_cap_threshold(amap, cap)
+        mask = mask & (amap >= t_cap)
     sta_g = sta
     if q_rows > 1:
         s1 = sta.shape[0]
@@ -211,11 +242,14 @@ def nabla_attention(
     thr: float = 0.9,
     impl: str = "auto",
     q_rows: int = 8,
+    max_density: Optional[float] = 0.75,
 ) -> Array:
     """Full NABLA path: adaptive mask + block-sparse attention.
 
     q, k, v: (B, S, H, D) in fractal token order. ``q_rows`` > 1 enables
-    the banked union kernel (see module docstring).
+    the banked union kernel (see module docstring). ``max_density`` caps
+    the kept fraction per row (see nabla_block_mask) — bounds worst-case
+    sparse cost below dense flash; None disables.
     """
     from kandinsky5_tpu.ops.sparse_pallas import (
         sparse_attention,
@@ -231,6 +265,6 @@ def nabla_attention(
         q_rows = 1
     # bank-granular mask: 8x cheaper build, feeds the banked kernel
     gmask = nabla_block_mask(q, k, sta, thr=thr, method="bisect",
-                             q_rows=q_rows)
+                             q_rows=q_rows, max_density=max_density)
     kv_inds, kv_nb = block_mask_to_kv_lists(gmask)
     return sparse_attention(q, k, v, kv_inds, kv_nb, q_rows=q_rows)

@@ -101,6 +101,9 @@ class DenoiseSpec:
     nabla_wT: int = 11
     nabla_wH: int = 3
     nabla_wW: int = 3
+    # worst-case bound for the sparse path (ops/nabla.nabla_block_mask);
+    # inert at the released checkpoints' ~5-15% real densities
+    nabla_max_density: Optional[float] = 0.75
     attn_impl: str = "auto"
     # run the CFG pair as two sequential forwards instead of one batch-2
     # call (the reference's scheme, generation_utils.py:53-73) — halves
@@ -122,7 +125,8 @@ def _build_sparse(spec: DenoiseSpec, grid) -> Optional[SparseParams]:
     sta = np.asarray(
         sta_mask(t, h // 8, w // 8, spec.nabla_wT, spec.nabla_wH, spec.nabla_wW)
     )
-    return SparseParams(sta=jnp.asarray(sta), P=spec.nabla_P)
+    return SparseParams(sta=jnp.asarray(sta), P=spec.nabla_P,
+                        max_density=spec.nabla_max_density)
 
 
 @functools.partial(
@@ -306,6 +310,7 @@ def denoise_host_loop(
     cond: dict,
     uncond: dict,
     skip_schedule,
+    progress: bool = False,
 ) -> Array:
     """Host-driven Euler loop: one device execution per DiT call (per
     CFG branch per step). Numerically identical to ``denoise`` with
@@ -337,6 +342,12 @@ def denoise_host_loop(
         x = x + dt * v
         # force completion so each call is its own bounded execution
         x.block_until_ready()
+        if progress:
+            # per-step reporting (reference tqdm, generation_utils.py:105)
+            print(f"\rdenoise step {i + 1}/{spec.num_steps}", end="",
+                  flush=True)
+    if progress:
+        print()
     return x
 
 
@@ -350,6 +361,7 @@ def generate_latents(
     magcache: Optional[MagCacheConfig] = None,
     noise: Optional[Array] = None,
     host_loop: bool = False,
+    progress: bool = False,
 ) -> Array:
     """Host-side wrapper: seed noise + schedule + jitted denoise.
 
@@ -367,7 +379,8 @@ def generate_latents(
     else:
         skip = np.zeros((spec.num_steps, 2), dtype=bool)
     if host_loop:
-        return denoise_host_loop(params, spec, noise, cond, uncond, skip)
+        return denoise_host_loop(params, spec, noise, cond, uncond, skip,
+                                 progress=progress)
     return denoise(
         params, spec, noise,
         cond["text_embeds"], cond["pooled_embed"], cond["mask"],

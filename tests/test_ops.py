@@ -155,3 +155,30 @@ def test_dense_attention_kv_mask():
     out = dense_attention(q, k, v, kv_mask=mask)
     ref = dense_attention(q, k[:, :n_valid], v[:, :n_valid])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_nabla_density_cap():
+    """max_density bounds the kept fraction per row; with peaked scores
+    it keeps the top-valued blocks (top-K semantics)."""
+    from kandinsky5_tpu.ops.nabla import nabla_block_mask, sta_mask
+
+    rng = np.random.RandomState(5)
+    s1 = 16
+    q = jnp.asarray(rng.randn(1, s1 * 64, 2, 16).astype(np.float32))
+    # near-identical keys -> near-uniform attention map -> uncapped mask
+    # keeps almost everything
+    k = jnp.asarray(
+        (rng.randn(1, 1, 2, 16) + 0.01 * rng.randn(1, s1 * 64, 2, 16))
+        .astype(np.float32))
+    sta = jnp.asarray(sta_mask(4, 2, 2, 1, 1, 1))
+
+    dense_mask = nabla_block_mask(q, k, sta, thr=0.95, max_density=None)
+    frac_uncapped = float(dense_mask.mean())
+    assert frac_uncapped > 0.8  # uniform map: top-CDF keeps ~all blocks
+
+    capped = nabla_block_mask(q, k, sta, thr=0.95, max_density=0.5)
+    adaptive_only = capped & ~sta[None, None].astype(bool)
+    # per-row kept count (before the STA union) respects the ceiling
+    counts = np.asarray(capped.sum(axis=-1))
+    assert counts.max() <= int(s1 * 0.5) + int(np.asarray(sta).sum(1).max())
+    assert capped.any()
