@@ -160,9 +160,17 @@ class Kandinsky5T2VPipeline:
 
         t0 = time.time()
         dit_params = self._dit_store.stage()
-        latents = generate_latents(dit_params, spec, latent_shape,
-                                   cond_d, uncond_d, seed=seed, magcache=mag,
-                                   host_loop=host_loop)
+        # enter the mesh context so the model's sharding constraints
+        # (constrain_heads/constrain_seq) apply on the TP path — the
+        # analog of the reference running under its DTensor plan
+        # (parallelize.py:11-102)
+        from kandinsky5_tpu.parallel.sharding import sharding_ctx
+
+        with sharding_ctx(self.mesh):
+            latents = generate_latents(dit_params, spec, latent_shape,
+                                       cond_d, uncond_d, seed=seed,
+                                       magcache=mag, host_loop=host_loop,
+                                       progress=progress)
         if progress:
             latents.block_until_ready()
             print(f"denoise: {time.time() - t0:.1f}s "
@@ -252,6 +260,9 @@ def get_T2V_pipeline(
 
         mesh = make_mesh(n_devices=tp, dp=1)
         dit_params = shard_dit_params(dit_params, mesh)
+        # the VAE decodes temporal tiles as a dp-sharded batch over the
+        # same devices (models/vae.py:_temporal_tiled_decode)
+        vae.mesh = make_mesh(n_devices=tp, dp=tp)
 
     return Kandinsky5T2VPipeline(
         dit_params=dit_params, conf=conf, text_embedder=text_embedder,

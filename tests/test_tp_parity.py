@@ -1,0 +1,100 @@
+"""Tensor-parallel denoise == single-device denoise, numerically.
+
+The reference validates its distributed story only by running torchrun
+over 1/2/4 GPUs (/root/reference/README.md:269-276; DTensor plan in
+kandinsky/models/parallelize.py:11-102). Here the equivalent check runs
+single-process on the virtual 8-CPU mesh: the TP/SP-sharded denoise
+must produce the same latents as the unsharded one, and the compiled
+module must actually contain collectives.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kandinsky5_tpu.config import DiTParams
+from kandinsky5_tpu.models.dit import dit_forward, init_dit_params
+from kandinsky5_tpu.parallel.sharding import (
+    make_mesh,
+    shard_dit_params,
+    sharding_ctx,
+)
+from kandinsky5_tpu.sampling import DenoiseSpec, denoise
+
+
+def _setup():
+    cfg = DiTParams(
+        in_visual_dim=4, out_visual_dim=4, in_text_dim=32, in_text_dim2=16,
+        time_dim=32, patch_size=(1, 2, 2), model_dim=128, ff_dim=256,
+        num_text_blocks=1, num_visual_blocks=2, axes_dims=(8, 4, 4),
+        visual_cond=False,
+    )
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # zero-init modulation makes every block an identity; randomize so
+    # the TP-sharded tensors actually participate
+    for blocks, mod in (("text_transformer_blocks", "text_modulation"),
+                        ("visual_transformer_blocks", "visual_modulation")):
+        w = params[blocks][mod]["out_layer"]["weight"]
+        params[blocks][mod]["out_layer"]["weight"] = (
+            jax.random.normal(jax.random.PRNGKey(7), w.shape, w.dtype) * 0.05)
+
+    rng = np.random.RandomState(0)
+    L = 8
+    noise = jnp.asarray(rng.randn(1, 2, 8, 8, cfg.in_visual_dim), jnp.float32)
+    cond = dict(
+        text_embeds=jnp.asarray(rng.randn(1, L, cfg.in_text_dim), jnp.float32),
+        pooled_embed=jnp.asarray(rng.randn(1, cfg.in_text_dim2), jnp.float32),
+        mask=jnp.ones((1, L), bool),
+    )
+    uncond = dict(
+        text_embeds=jnp.asarray(rng.randn(1, L, cfg.in_text_dim), jnp.float32),
+        pooled_embed=jnp.asarray(rng.randn(1, cfg.in_text_dim2), jnp.float32),
+        mask=jnp.ones((1, L), bool),
+    )
+    return cfg, params, noise, cond, uncond
+
+
+def _run(cfg, params, noise, cond, uncond, mesh=None):
+    spec = DenoiseSpec(
+        dit_params=cfg, num_steps=2, guidance_weight=5.0,
+        scheduler_scale=5.0, scale_factor=(1.0, 2.0, 2.0), attn_impl="dense")
+    skip = jnp.zeros((spec.num_steps, 2), bool)
+    with sharding_ctx(mesh):
+        out = denoise(params, spec, noise,
+                      cond["text_embeds"], cond["pooled_embed"], cond["mask"],
+                      uncond["text_embeds"], uncond["pooled_embed"],
+                      uncond["mask"], skip)
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("dp", [1, 2])
+def test_tp_denoise_matches_single(dp):
+    cfg, params, noise, cond, uncond = _setup()
+    base = _run(cfg, params, noise, cond, uncond, mesh=None)
+
+    mesh = make_mesh(n_devices=8, dp=dp)
+    sharded = shard_dit_params(params, mesh)
+    out = _run(cfg, sharded, noise, cond, uncond, mesh=mesh)
+    np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-5)
+
+
+def test_tp_forward_compiles_collectives():
+    cfg, params, noise, cond, uncond = _setup()
+    mesh = make_mesh(n_devices=8, dp=2)
+    sharded = shard_dit_params(params, mesh)
+
+    def fwd(p, x, te, pe, t, m):
+        return dit_forward(p, cfg, x, te, pe, t, text_mask=m,
+                           scale_factor=(1.0, 2.0, 2.0), attn_impl="dense")
+
+    t = jnp.full((1,), 500.0, jnp.float32)
+    with sharding_ctx(mesh):
+        compiled = (jax.jit(fwd)
+                    .lower(sharded, noise, cond["text_embeds"],
+                           cond["pooled_embed"], t, cond["mask"])
+                    .compile())
+    hlo = compiled.as_text()
+    assert ("all-reduce" in hlo or "reduce-scatter" in hlo
+            or "all-gather" in hlo), "TP plan compiled without collectives"
