@@ -96,3 +96,39 @@ def clip_text_forward(params, cfg: ClipTextConfig, input_ids: Array,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def clip_pooled(params, cfg: ClipTextConfig, input_ids, attention_mask):
     return clip_text_forward(params, cfg, input_ids, attention_mask)[1]
+
+
+def init_clip_params_random(key, cfg: ClipTextConfig, dtype=jnp.float32,
+                            scale: float = 0.02):
+    """Random CLIP text pytree matching convert_clip_state_dict's layout
+    (bench/tests only)."""
+    L, h, inter = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    ks = iter(jax.random.split(key, 16))
+
+    def lin(i, o):
+        return {"weight": jax.random.uniform(next(ks), (L, i, o), dtype,
+                                             -scale, scale),
+                "bias": jnp.zeros((L, o), dtype)}
+
+    def ln():
+        return {"weight": jnp.ones((L, h), dtype),
+                "bias": jnp.zeros((L, h), dtype)}
+
+    return {
+        "embeddings": {
+            "token_embedding": {"weight": jax.random.uniform(
+                next(ks), (cfg.vocab_size, h), dtype, -scale, scale)},
+            "position_embedding": {"weight": jax.random.uniform(
+                next(ks), (cfg.max_position_embeddings, h), dtype,
+                -scale, scale)},
+        },
+        "layers": {
+            "layer_norm1": ln(),
+            "layer_norm2": ln(),
+            "self_attn": {"q_proj": lin(h, h), "k_proj": lin(h, h),
+                          "v_proj": lin(h, h), "out_proj": lin(h, h)},
+            "mlp": {"fc1": lin(h, inter), "fc2": lin(inter, h)},
+        },
+        "final_layer_norm": {"weight": jnp.ones((h,), dtype),
+                             "bias": jnp.zeros((h,), dtype)},
+    }

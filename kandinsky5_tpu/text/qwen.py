@@ -173,6 +173,57 @@ def qwen_encode(params, cfg: QwenTextConfig, input_ids, attention_mask,
     return hidden[:, crop_start:], jnp.asarray(attention_mask)[:, crop_start:]
 
 
+def qwen_param_shapes(cfg: QwenTextConfig):
+    """ShapeDtypeStruct pytree matching convert_qwen_state_dict's layout
+    (stacked layers)."""
+    L, h, d = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    inter, V = cfg.intermediate_size, cfg.vocab_size
+
+    def w(*s):
+        return jax.ShapeDtypeStruct(s, jnp.float32)
+
+    layers = {
+        "input_layernorm": {"weight": w(L, h)},
+        "post_attention_layernorm": {"weight": w(L, h)},
+        "self_attn": {
+            "q_proj": {"weight": w(L, h, hq * d), "bias": w(L, hq * d)},
+            "k_proj": {"weight": w(L, h, hkv * d), "bias": w(L, hkv * d)},
+            "v_proj": {"weight": w(L, h, hkv * d), "bias": w(L, hkv * d)},
+            "o_proj": {"weight": w(L, hq * d, h)},
+        },
+        "mlp": {"gate_proj": {"weight": w(L, h, inter)},
+                "up_proj": {"weight": w(L, h, inter)},
+                "down_proj": {"weight": w(L, inter, h)}},
+    }
+    return {"embed_tokens": {"weight": w(V, h)}, "layers": layers,
+            "norm": {"weight": w(h)}, "lm_head": {"weight": w(h, V)}}
+
+
+def init_qwen_params_random(key, cfg: QwenTextConfig, dtype=jnp.bfloat16,
+                            scale: float = 0.02):
+    """Random full-size Qwen pytree generated on-device in the target
+    dtype (bench/tests; real weights via checkpoint.py). Norm weights
+    init to 1."""
+    shapes = qwen_param_shapes(cfg)
+    leaves, treedef = jax.tree.flatten_with_path(shapes)
+    paths = [p for p, _ in leaves]
+    structs = [l for _, l in leaves]
+
+    def build(key):
+        ks = jax.random.split(key, len(structs))
+        out = []
+        for path, k, l in zip(paths, ks, structs):
+            if "layernorm" in str(path) or "norm" in str(path):
+                out.append(jnp.ones(l.shape, dtype))
+            else:
+                out.append(jax.random.uniform(k, l.shape, dtype,
+                                              -scale, scale))
+        return jax.tree.unflatten(treedef, out)
+
+    return jax.jit(build)(key)
+
+
 # ---------------------------------------------------------------------------
 # Greedy generation (prompt expansion)
 # ---------------------------------------------------------------------------
@@ -214,34 +265,55 @@ def qwen_generate_greedy(params, cfg: QwenTextConfig, input_ids: np.ndarray,
                          preferred_element_type=jnp.float32)
         return jnp.stack(caches), jnp.argmax(logits, axis=-1)
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
-    def decode_step(params, cfg, caches, token, pos, max_len):
-        b = token.shape[0]
-        x = jnp.take(params["embed_tokens"]["weight"], token[:, None], axis=0)
-        positions = pos[None, None]
-        cos, sin = qwen_rope(positions.astype(jnp.int32), cfg.head_dim,
-                             cfg.rope_theta)
-        kv_pos = jnp.arange(max_len)[None, None, :]
-        mask = kv_pos <= pos
-        new_caches = []
-        for i in range(cfg.num_hidden_layers):
-            p_i = jax.tree.map(lambda a: a[i], params["layers"])
-            x, cache = _layer(p_i, x, cos, sin, cfg, mask, caches[i], pos)
-            new_caches.append(cache)
-        x = qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
-        logits = jnp.dot(x[:, -1], params["lm_head"]["weight"],
-                         preferred_element_type=jnp.float32)
-        return jnp.stack(new_caches), jnp.argmax(logits, axis=-1)
+    # whole decode in ONE jitted lax.while_loop: the 28 per-layer caches
+    # live as one (L, 2, B, max_len, hkv, d) buffer scanned over with the
+    # stacked layer params and updated in place (donated) — no per-token
+    # host dispatch and no per-token cache restack
+    eos_arr = jnp.asarray(eos_token_ids, jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "max_len", "max_new"),
+                       donate_argnums=(1,))
+    def decode_loop(params, caches, first_token, prompt_len, *, cfg,
+                    max_len, max_new):
+        out0 = jnp.zeros((max_new,), jnp.int32).at[0].set(first_token[0])
+        done0 = jnp.any(first_token[0] == eos_arr)
+
+        def cond(st):
+            _, _, _, _, n, done = st
+            return (n < max_new) & ~done
+
+        def body(st):
+            caches, last, pos, out, n, done = st
+            x = jnp.take(params["embed_tokens"]["weight"], last[:, None],
+                         axis=0)
+            cos, sin = qwen_rope(jnp.full((1, 1), pos, jnp.int32),
+                                 cfg.head_dim, cfg.rope_theta)
+            mask = jnp.arange(max_len)[None, None, :] <= pos
+
+            def scan_layer(xc, inp):
+                p_i, cache_i = inp
+                xc, new_cache = _layer(p_i, xc, cos, sin, cfg, mask,
+                                       cache_i, pos)
+                return xc, new_cache
+
+            x, caches = jax.lax.scan(scan_layer, x,
+                                     (params["layers"], caches))
+            x = qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
+            logits = jnp.dot(x[:, -1], params["lm_head"]["weight"],
+                             preferred_element_type=jnp.float32)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            is_eos = jnp.any(token[0] == eos_arr)
+            out = out.at[n].set(jnp.where(is_eos, 0, token[0]))
+            n = n + jnp.where(is_eos, 0, 1)
+            return caches, token, pos + 1, out, n, is_eos
+
+        st = (caches, first_token, prompt_len, out0,
+              jnp.where(done0, 0, 1), done0)
+        st = jax.lax.while_loop(cond, body, st)
+        return st[3], st[4]
 
     caches, token = prefill(params, cfg, jnp.asarray(ids), max_len)
-    out_tokens = [int(token[0])]
-    pos = prompt_len
-    while len(out_tokens) < max_new_tokens and out_tokens[-1] not in eos_token_ids:
-        caches, token = decode_step(params, cfg, caches,
-                                    jnp.asarray([out_tokens[-1]], jnp.int32),
-                                    jnp.int32(pos), max_len)
-        out_tokens.append(int(token[0]))
-        pos += 1
-    if out_tokens and out_tokens[-1] in eos_token_ids:
-        out_tokens = out_tokens[:-1]
-    return np.asarray(out_tokens, np.int32)
+    out, n = decode_loop(params, caches, token.astype(jnp.int32),
+                         jnp.int32(prompt_len), cfg=cfg, max_len=max_len,
+                         max_new=max_new_tokens)
+    return np.asarray(out)[:int(n)]
