@@ -1,18 +1,27 @@
-"""Benchmark: end-to-end 5s distill-16 latency (DiT denoise + VAE decode).
+"""Benchmark: end-to-end 5s distill-16 latency, measured like the
+baseline (BASELINE.md: second run, 768x512, including prompt expansion,
+text encode, denoise and VAE decode).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = value / 35.0 (<1.0 beats the reference's H100 distill-5s
-end-to-end number, BASELINE.md; that target assumes v5e-8 — this
-harness runs on however many chips are visible, currently one).
+end-to-end number; that target assumes v5e-8 — this harness runs on
+however many chips are visible, currently one). Stage breakdown goes to
+stderr and BENCH_EXTRA.json.
 
-Flags: --quick (2 denoise steps, skip VAE), --nabla (additionally
-report one 10s NABLA layer call on stderr).
+Flags:
+  --quick     2 denoise steps, skip text/VAE stages
+  --no-text   skip the text stage (Qwen-7B random weights need ~15 GB
+              HBM; excluded automatically if staging fails)
+  --nabla10s  additionally measure one 10s NFE pair (NABLA sparse path)
 
 Timing notes: through the tunneled axon backend ``block_until_ready``
 does not synchronize and host fetches are slow (~10 MB/s), so each
 phase is timed by fetching a scalar reduction (one ~30 ms round trip).
+Single executions >~1 min crash the tunneled worker, so the 16-NFE run
+is chunked (4x4 steps — same compute, 4 extra host round trips).
 """
 
+import gc
 import json
 import sys
 import time
@@ -22,18 +31,89 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+BASELINE_5S = 35.0    # H100 distill-16 5s end-to-end (BASELINE.md)
+BASELINE_10S_PAIR = 224.0 / 50  # H100 SFT-10s per NFE pair (100 NFE)
+
 
 def _sync_scalar(x):
     return float(jnp.sum(x[(0,) * (x.ndim - 1)][..., :1].astype(jnp.float32)))
 
 
-def main():
-    import kandinsky5_tpu  # noqa: F401  enables the persistent compile cache
+def bench_text_stage(extra):
+    """Prompt expansion (1x greedy decode) + cond/uncond Qwen encode +
+    2x CLIP pooled, full-size random weights (converted-checkpoint
+    shapes). Returns seconds for [expansion, qwen encode x2, clip x2]."""
+    from kandinsky5_tpu.text.clip import (
+        ClipTextConfig,
+        clip_pooled,
+        init_clip_params_random,
+    )
+    from kandinsky5_tpu.text.qwen import (
+        QwenTextConfig,
+        init_qwen_params_random,
+        qwen_encode,
+        qwen_generate_greedy,
+    )
+
+    qcfg = QwenTextConfig()
+    qp = init_qwen_params_random(jax.random.PRNGKey(3), qcfg,
+                                 dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+
+    # conditioning encode: video template = 256 tokens + crop 129
+    ids = rng.randint(0, qcfg.vocab_size, (1, 256 + 129)).astype(np.int32)
+    mask = np.ones_like(ids, bool)
+    t0 = time.perf_counter()
+    emb, _ = qwen_encode(qp, qcfg, ids, mask, 129)
+    _sync_scalar(emb)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(2):  # cond + uncond (reference generation_utils.py:156-162)
+        emb, _ = qwen_encode(qp, qcfg, ids, mask, 129)
+        _sync_scalar(emb)
+    t_encode = time.perf_counter() - t0
+    print(f"# qwen encode: compile+first {compile_s:.1f}s, steady 2x "
+          f"{t_encode:.2f}s", file=sys.stderr)
+
+    # prompt expansion: ~380-token beautifier instruction, 256 new tokens
+    # (reference t2v_pipeline.py:47-88); random weights rarely emit EOS,
+    # so this measures the full-length worst case
+    eids = rng.randint(0, qcfg.vocab_size, (1, 380)).astype(np.int32)
+    t0 = time.perf_counter()
+    out = qwen_generate_greedy(qp, qcfg, eids, max_new_tokens=256)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = qwen_generate_greedy(qp, qcfg, eids, max_new_tokens=256)
+    t_expand = time.perf_counter() - t0
+    print(f"# prompt expansion: compile+first {compile_s:.1f}s, steady "
+          f"{t_expand:.2f}s ({max(len(out), 1)} tokens)", file=sys.stderr)
+
+    del qp
+    gc.collect()
+
+    ccfg = ClipTextConfig()
+    cp = init_clip_params_random(jax.random.PRNGKey(4), ccfg)
+    cids = jnp.asarray(rng.randint(0, ccfg.vocab_size, (1, 77)), jnp.int32)
+    cmask = jnp.ones((1, 77), jnp.int32)
+    _sync_scalar(clip_pooled(cp, ccfg, cids, cmask))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        _sync_scalar(clip_pooled(cp, ccfg, cids, cmask))
+    t_clip = time.perf_counter() - t0
+    print(f"# clip pooled: steady 2x {t_clip:.3f}s", file=sys.stderr)
+    del cp
+    gc.collect()
+
+    extra["text_expand_s"] = round(t_expand, 2)
+    extra["text_encode_s"] = round(t_encode, 2)
+    extra["clip_s"] = round(t_clip, 3)
+    return t_expand + t_encode + t_clip
+
+
+def bench_denoise(quick, extra):
     from kandinsky5_tpu.config import DiTParams
     from kandinsky5_tpu.models.dit import fast_init_dit_params
     from kandinsky5_tpu.sampling import DenoiseSpec, denoise
-
-    quick = "--quick" in sys.argv
 
     cfg = DiTParams()  # released 2B architecture
     params = fast_init_dit_params(jax.random.PRNGKey(0), cfg,
@@ -41,9 +121,6 @@ def main():
 
     # 5s distill config: 16 NFE, no CFG (guidance 1.0), 768x512
     # latent (31, 64, 96, 16) -> 47,616 visual tokens (BASELINE.md)
-    # NOTE: single device executions beyond ~2 min can crash the
-    # tunneled TPU worker, so the 16 NFE run is measured as 4 chunks of
-    # 4 steps (same compute; chunk boundaries add 4 host round trips)
     chunk_steps = 2 if quick else 4
     n_chunks = 1 if quick else 4
     spec = DenoiseSpec(
@@ -70,71 +147,132 @@ def main():
 
     t0 = time.perf_counter()
     latents = run_denoise()
-    compile_denoise = time.perf_counter() - t0
+    compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     latents = run_denoise()
     t_denoise = time.perf_counter() - t0
+    print(f"# denoise: compile+first {compile_s:.1f}s, steady "
+          f"{t_denoise:.1f}s ({num_steps} steps, "
+          f"{t_denoise / num_steps:.2f} s/NFE); devices="
+          f"{len(jax.devices())}", file=sys.stderr)
+    extra["denoise_s"] = round(t_denoise, 2)
+    extra["denoise_s_per_nfe"] = round(t_denoise / num_steps, 3)
+    del params
+    gc.collect()
+    return t_denoise, latents
+
+
+def bench_vae(latents, extra):
+    from kandinsky5_tpu.models.vae import HunyuanVideoVAE, init_vae_params
+
+    vae = HunyuanVideoVAE(
+        init_vae_params(jax.random.PRNGKey(1), dtype=jnp.bfloat16),
+        dtype=jnp.bfloat16)
+
+    def run_decode():
+        video = vae.decode(latents.astype(jnp.bfloat16))
+        _sync_scalar(video)
+
+    t0 = time.perf_counter()
+    run_decode()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_decode()
+    t_vae = time.perf_counter() - t0
+    print(f"# vae decode: compile+first {compile_s:.1f}s, steady "
+          f"{t_vae:.1f}s", file=sys.stderr)
+    extra["vae_s"] = round(t_vae, 2)
+    del vae
+    gc.collect()
+    return t_vae
+
+
+def bench_nabla10s(extra):
+    """One 10s NFE pair (cond+uncond sequential, NABLA sparse path) via
+    the host-driven step — the per-step cost of the 100-NFE 10s SFT run."""
+    from kandinsky5_tpu.config import DiTParams
+    from kandinsky5_tpu.models.dit import fast_init_dit_params
+    from kandinsky5_tpu.sampling import DenoiseSpec, denoise_one_call
+
+    cfg = DiTParams()
+    params = fast_init_dit_params(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.bfloat16)
+    spec = DenoiseSpec(
+        dit_params=cfg, num_steps=50, guidance_weight=5.0,
+        scheduler_scale=5.0, scale_factor=(1.0, 2.0, 2.0),
+        attention_type="nabla", attn_impl="auto", sequential_cfg=True,
+    )
+    rng = np.random.RandomState(0)
+    L = 256
+    x = jnp.asarray(rng.randn(1, 61, 64, 96, 16), jnp.float32)
+    te = jnp.asarray(rng.randn(1, L, cfg.in_text_dim), jnp.bfloat16)
+    pe = jnp.asarray(rng.randn(1, cfg.in_text_dim2), jnp.bfloat16)
+    mask = jnp.ones((1, L), bool)
+    res = jnp.zeros((1, 61 * 32 * 48, cfg.model_dim), jnp.bfloat16)
+
+    def pair():
+        v, r = denoise_one_call(params, spec, x, te, pe, mask,
+                                jnp.float32(0.7), jnp.bool_(False), res)
+        _sync_scalar(v)
+        v, r = denoise_one_call(params, spec, x, te, pe, mask,
+                                jnp.float32(0.7), jnp.bool_(False), res)
+        _sync_scalar(v)
+
+    t0 = time.perf_counter()
+    pair()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pair()
+    t_pair = time.perf_counter() - t0
+    n_dev = len(jax.devices())
+    print(f"# 10s NABLA NFE pair: compile+first {compile_s:.1f}s, steady "
+          f"{t_pair:.1f}s (1 chip; v5e-8 projection ~{t_pair / 8:.1f}s x "
+          f"50 pairs = {t_pair / 8 * 50:.0f}s vs 224s baseline)",
+          file=sys.stderr)
+    extra["10s_sft_nfe_pair_seconds"] = round(t_pair, 2)
+    extra["10s_sft_v5e8_projection_seconds"] = round(t_pair / 8 * 50, 1)
+    extra["10s_devices_measured"] = n_dev
+
+
+def main():
+    import kandinsky5_tpu  # noqa: F401  enables the persistent compile cache
+
+    quick = "--quick" in sys.argv
+    extra = {}
+
+    t_text = 0.0
+    if not quick and "--no-text" not in sys.argv:
+        try:
+            t_text = bench_text_stage(extra)
+        except Exception as e:  # noqa: BLE001  (HBM-constrained hosts)
+            print(f"# text stage skipped: {type(e).__name__}: {e}"[:200],
+                  file=sys.stderr)
+            gc.collect()
+
+    t_denoise, latents = bench_denoise(quick, extra)
 
     t_vae = 0.0
     if not quick:
-        import gc
+        t_vae = bench_vae(latents, extra)
 
-        from kandinsky5_tpu.models.vae import HunyuanVideoVAE, init_vae_params
-
-        # free the 4GB DiT params before the decoder's full-res
-        # activations land (single chip HBM budget)
-        params = None
-        run_denoise = None
+    if "--nabla10s" in sys.argv:
+        del latents
         gc.collect()
+        bench_nabla10s(extra)
 
-        vae = HunyuanVideoVAE(
-            init_vae_params(jax.random.PRNGKey(1), dtype=jnp.bfloat16),
-            dtype=jnp.bfloat16)
-
-        def run_decode():
-            video = vae.decode(latents.astype(jnp.bfloat16))
-            _sync_scalar(video)
-
-        t0 = time.perf_counter()
-        run_decode()
-        compile_vae = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run_decode()
-        t_vae = time.perf_counter() - t0
-        print(f"# vae decode: compile+first {compile_vae:.1f}s, "
-              f"steady {t_vae:.1f}s", file=sys.stderr)
-
-    total = t_denoise + t_vae
-    baseline = 35.0  # H100 distill-16 5s end-to-end (BASELINE.md)
+    total = t_text + t_denoise + t_vae
+    if not quick:
+        try:
+            with open("BENCH_EXTRA.json", "w") as f:
+                json.dump(extra, f, indent=1)
+        except OSError:
+            pass
     print(json.dumps({
-        "metric": "5s_distill16_denoise_plus_vae_seconds",
+        "metric": "5s_distill16_e2e_seconds",
         "value": round(total, 2),
         "unit": "s",
-        "vs_baseline": round(total / baseline, 3),
+        "vs_baseline": round(total / BASELINE_5S, 3),
     }))
-    print(f"# denoise: compile+first {compile_denoise:.1f}s, steady "
-          f"{t_denoise:.1f}s ({num_steps} steps); devices="
-          f"{len(jax.devices())}", file=sys.stderr)
-
-    if "--nabla" in sys.argv:
-        import functools
-
-        from kandinsky5_tpu.ops.nabla import nabla_attention, sta_mask
-
-        B, H, D = 2, 28, 64
-        s1 = 61 * 4 * 6
-        S = s1 * 64
-        ks = jax.random.split(jax.random.PRNGKey(2), 3)
-        q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
-        k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
-        v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
-        sta = jnp.asarray(sta_mask(61, 4, 6, 11, 3, 3))
-        f = jax.jit(functools.partial(nabla_attention, thr=0.9, impl="sparse"))
-        _sync_scalar(f(q, k, v, sta))
-        t0 = time.perf_counter()
-        _sync_scalar(f(q, k, v, sta))
-        print(f"# nabla 10s layer call: {time.perf_counter() - t0:.2f}s",
-              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,27 +1,112 @@
 """End-to-end parity gate vs the PyTorch reference (requires the real
-checkpoints under ./weights/ and a CUDA/CPU box that can run the
-reference — not available in the build environment, so this tool is the
-recipe for the gate rather than a CI test).
+checkpoints under ./weights/ — not downloadable in the build
+environment, so this tool is the runnable recipe for the gate rather
+than a CI test).
 
-1. runs the reference pipeline with a fixed seed, saving (a) the initial
-   noise, (b) the final latents, (c) decoded frames;
-2. runs this framework with the SAME noise injected
-   (sampling.generate_latents(noise=...) — torch RNG streams cannot be
-   reproduced in JAX);
-3. reports latent stats and decoded-frame PSNR
-   (target: PSNR > 35 dB, BASELINE.md).
+Two halves:
+
+1. ``--make-reference-dump ref_dump.npz`` — on a machine that can run
+   the PyTorch reference (torch + its requirements, weights present),
+   runs the reference pipeline with a fixed seed and saves
+   (a) the initial noise it drew, (b) the final pre-VAE latents,
+   (c) the decoded uint8 frames, (d) the text-embedder outputs and the
+   first DiT call's input/output for per-module triage.
+2. ``--reference-dump ref_dump.npz`` — runs THIS framework with the
+   same injected noise (sampling.generate_latents(noise=...); torch RNG
+   streams cannot be reproduced in JAX) and the dumped text embeddings,
+   reporting latent stats and decoded-frame PSNR (target: > 35 dB,
+   BASELINE.md).
 
 Usage:
+    # reference box:
+    python tools/parity_check.py --make-reference-dump ref_dump.npz \
+        --config configs/config_5s_distil.yaml --prompt "..." --seed 42
+    # TPU box:
     python tools/parity_check.py --config kandinsky5_tpu/configs/config_5s_distil.yaml \
-        --reference-dump ref_dump.npz [--prompt "..."]
-
-To produce ref_dump.npz on a reference-capable machine:
-    python tools/parity_check.py --make-reference-dump ref_dump.npz ...
+        --reference-dump ref_dump.npz
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+
+def make_reference_dump(out_path: str, conf_path: str, prompt: str,
+                        negative: str, seed: int, time_length: int,
+                        width: int, height: int, reference_root: str):
+    """Run the PyTorch reference pipeline, capturing noise / latents /
+    frames / triage activations (reference call stack: t2v_pipeline.py:90
+    -> generation_utils.py:132 -> generate:80)."""
+    sys.path.insert(0, reference_root)
+    import torch
+
+    import kandinsky.generation_utils as rgen
+    from kandinsky import get_T2V_pipeline
+
+    device = "cuda:0" if torch.cuda.is_available() else "cpu"
+    device_map = {"dit": device, "vae": device, "text_embedder": device}
+    pipe = get_T2V_pipeline(device_map, conf_path=conf_path)
+
+    captured = {}
+
+    orig_generate = rgen.generate
+
+    def generate_wrapper(model, dev, shape, num_steps, *a, **kw):
+        # reproduce the noise generate() draws internally
+        # (generation_utils.py:97-99) without disturbing its RNG
+        g = torch.Generator(dev)
+        g.manual_seed(kw.get("seed", seed))
+        captured["noise"] = torch.randn(
+            *shape, generator=g, device=dev).float().cpu().numpy()
+        out = orig_generate(model, dev, shape, num_steps, *a, **kw)
+        captured["latents"] = out.float().cpu().numpy()
+        return out
+
+    rgen.generate = generate_wrapper
+
+    orig_encode = pipe.text_embedder.encode
+
+    def encode_wrapper(texts, type_of_content="image"):
+        embeds, cu = orig_encode(texts, type_of_content)
+        key = "cond" if "cond" not in captured else "uncond"
+        captured[f"{key}_text_embeds"] = (
+            embeds["text_embeds"].float().cpu().numpy())
+        captured[f"{key}_pooled_embed"] = (
+            embeds["pooled_embed"].float().cpu().numpy())
+        captured[f"{key}_cu_seqlens"] = cu.cpu().numpy()
+        captured.setdefault("cond", True)
+        return embeds, cu
+
+    pipe.text_embedder.encode = encode_wrapper
+
+    # first-DiT-call triage hook: input x and predicted velocity
+    dit = pipe.dit
+    orig_forward = dit.forward
+
+    def forward_wrapper(x, *a, **kw):
+        out = orig_forward(x, *a, **kw)
+        if "dit_first_in" not in captured:
+            captured["dit_first_in"] = x.float().cpu().numpy()
+            captured["dit_first_out"] = out.float().cpu().numpy()
+        return out
+
+    dit.forward = forward_wrapper
+
+    frames = pipe(
+        prompt, time_length=time_length, width=width, height=height,
+        seed=seed, negative_caption=negative, expand_prompts=False,
+        save_path=None)
+    captured["frames"] = np.asarray(frames)
+    captured["prompt"] = np.asarray(prompt)
+    captured["negative"] = np.asarray(negative)
+    captured["seed"] = np.asarray(seed)
+    captured.pop("cond", None)
+    np.savez_compressed(out_path, **captured)
+    print(f"wrote {out_path}: "
+          f"{sorted(k for k in captured)} "
+          f"noise={captured['noise'].shape} frames={captured['frames'].shape}")
 
 
 def run_ours(conf_path: str, dump: dict, prompt: str):
@@ -32,11 +117,22 @@ def run_ours(conf_path: str, dump: dict, prompt: str):
     from kandinsky5_tpu.utils.metrics import latent_stats, psnr
 
     pipe = get_T2V_pipeline(conf_path=conf_path)
+    prompt = str(dump.get("prompt", prompt))
+    negative = str(dump.get("negative", ""))
     cond = pipe.text_embedder.encode([prompt], "video")
-    uncond = pipe.text_embedder.encode([dump.get("negative", "")], "video")
+    uncond = pipe.text_embedder.encode([negative], "video")
+
+    if "cond_text_embeds" in dump:
+        # text-embedder triage: our Qwen/CLIP towers vs the dump
+        err = np.max(np.abs(np.asarray(cond.text_embeds[0])[: len(
+            dump["cond_text_embeds"])] - dump["cond_text_embeds"]))
+        print(f"text_embeds max err vs reference: {err:.3e}")
+
     spec = pipe._spec(pipe.conf.model.num_steps,
                       pipe.conf.model.guidance_weight, 5.0)
-    noise = jnp.asarray(dump["noise"])  # (1, T, H, W, C), reference RNG
+    noise = jnp.asarray(dump["noise"])
+    if noise.ndim == 4:  # reference shape (T, H, W, C) -> batch of 1
+        noise = noise[None]
     latents = generate_latents(
         pipe.dit_params, spec, noise.shape,
         {"text_embeds": cond.text_embeds, "pooled_embed": cond.pooled_embed,
@@ -44,9 +140,13 @@ def run_ours(conf_path: str, dump: dict, prompt: str):
         {"text_embeds": uncond.text_embeds,
          "pooled_embed": uncond.pooled_embed, "mask": uncond.mask},
         seed=0, noise=noise)
-    print("latents:", latent_stats(np.asarray(latents), dump["latents"]))
+    ref_lat = dump["latents"]
+    if ref_lat.ndim == 4:
+        ref_lat = ref_lat[None]
+    print("latents:", latent_stats(np.asarray(latents), ref_lat))
     frames = pipe.decode_latents(latents)
-    score = psnr(frames, dump["frames"])
+    ref_frames = dump["frames"]
+    score = psnr(frames.reshape(ref_frames.shape), ref_frames)
     print(f"decoded-frame PSNR: {score:.2f} dB (target > 35)")
     return score
 
@@ -54,9 +154,25 @@ def run_ours(conf_path: str, dump: dict, prompt: str):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
-    p.add_argument("--reference-dump", required=True)
+    p.add_argument("--reference-dump")
+    p.add_argument("--make-reference-dump", metavar="OUT_NPZ")
     p.add_argument("--prompt", default="A dog in red hat")
+    p.add_argument("--negative", default="")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--time-length", type=int, default=5)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--reference-root", default=os.environ.get(
+        "KANDINSKY_REFERENCE_ROOT", "/root/reference"))
     args = p.parse_args()
+    if args.make_reference_dump:
+        make_reference_dump(
+            args.make_reference_dump, args.config, args.prompt,
+            args.negative, args.seed, args.time_length, args.width,
+            args.height, args.reference_root)
+        return
+    if not args.reference_dump:
+        p.error("one of --reference-dump / --make-reference-dump required")
     dump = dict(np.load(args.reference_dump, allow_pickle=True))
     run_ours(args.config, dump, args.prompt)
 
