@@ -32,8 +32,11 @@ Performance notes (measured on v5e, head_dim 64, 47,616 tokens):
     clamp on the normalizer guards the impossible all-underflow row.
     Un-normed callers (e.g. the VAE) pass fixed_shift=False for the
     classic online softmax.
-  * Default blocks (512, 1024): 512 divides both production sequence
-    lengths; larger q blocks measured slower.
+  * The fixed-shift kernel reads K pre-transposed (d, Lk) so the MXU's
+    rhs needs no per-program transpose, and runs (1536, 1536) blocks:
+    79 TFLOP/s useful at the 5s shape, ~80% of the d=64 ceiling
+    (the MXU computes 128-lane contractions regardless, so useful
+    throughput is capped at ~98 TFLOP/s for 64-wide heads).
 
 Other lengths are handled by padding K/V to a block multiple and masking
 the tail; padded Q rows compute garbage that is sliced off.
@@ -53,10 +56,12 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 # measured on v5e at the 5s production shape (47,616 tokens, 28 heads):
-# large q blocks amortize K/V streaming; 512-wide kv blocks beat 1024
-# (VMEM/vreg pressure of the fp32 score tile)
+# large q blocks amortize K/V streaming; 1536-wide kv blocks win for the
+# fixed-shift kernel (79 TFLOP/s); the online kernel's extra row-stat
+# scratch caps it at 512 (VMEM)
 BLOCK_Q = 1536
-BLOCK_K = 512
+BLOCK_K = 1536
+BLOCK_K_ONLINE = 512
 _STAT = 128   # lane-width replication for row statistics kept in VMEM
 _NEG = -1e30  # effective -inf that keeps exp() NaN-free on masked rows
 
@@ -90,7 +95,7 @@ def _block_live(qid_ref, kid_ref, ids_masked):
 
 
 def _kernel_fixed(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, *,
-                  num_k: int, masked: bool, splits: int = 1):
+                  num_k: int, masked: bool):
     """Fixed-shift softmax, fully MXU-folded.
 
     Inputs arrive 128-lane *augmented* (see ``_augment``): Q carries a
@@ -99,8 +104,13 @@ def _kernel_fixed(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, *,
     time as the naive K=64 — the systolic array pads odd contractions);
     V carries a ones column, so the PV matmul accumulates the softmax
     normalizer in lane ``d`` for free (N=128 likewise costs the same as
-    N=64). Per-element VPU work is exp + one cast; the normalize/slice
+    N=64). Per-element VPU work is exp2 + one cast; the normalize/slice
     epilogue runs outside the kernel as one fused XLA pass.
+
+    (A lag-1 software pipeline that decoupled QK from exp2/PV via a
+    scores scratch was measured SLOWER — the extra VMEM round-trip of
+    the fp32 score tile outweighs any VPU/MXU overlap; the VPU pass is
+    ~8% of the MXU time here.)
     """
     j = pl.program_id(2)
 
@@ -108,28 +118,23 @@ def _kernel_fixed(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, *,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # the QK -> exp -> PV chain is data-serial within one kv chunk;
-    # splitting the block lets Mosaic overlap one chunk's VPU exp with
-    # the neighbor chunk's MXU matmuls
-    q = q_ref[0]
-    chunk = k_ref.shape[1] // splits
-    for t in range(splits):
-        sl = slice(t * chunk, (t + 1) * chunk)
-        s = jax.lax.dot_general(
-            q, k_ref[0, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if masked:
-            s = jnp.where(mask_ref[0, :, sl] != 0, s, _NEG)
-        # scores arrive pre-scaled by log2(e) (see _augment): exp2 is the
-        # native VPU transcendental, skipping exp's internal multiply
-        p = jnp.exp2(s)
-        acc_ref[...] += jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, sl],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # K arrives pre-transposed (d, block_k): the MXU reads its rhs in
+    # native (K, N) layout, skipping a per-program XLU transpose.
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if masked:
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, s, _NEG)
+    # scores arrive pre-scaled by log2(e) (see _augment): exp2 is the
+    # native VPU transcendental, skipping exp's internal multiply
+    p = jnp.exp2(s)
+    acc_ref[...] += jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(j == num_k - 1)
     def _finalize():
@@ -177,21 +182,22 @@ def _kernel_online(q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref, shift_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "masked", "block_q", "block_k", "splits", "interpret"))
+    "masked", "block_q", "block_k", "interpret"))
 def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
                       masked: bool, block_q: int, block_k: int,
-                      splits: int = 1, interpret: bool = False) -> Array:
-    """(BH, L, 128) augmented fixed-shift core (see _kernel_fixed)."""
+                      interpret: bool = False) -> Array:
+    """(BH, L, 128) augmented fixed-shift core (see _kernel_fixed).
+
+    ``k`` arrives TRANSPOSED as (BH, 128, Lk) so each kv block loads in
+    the MXU's native rhs (K, N) layout.
+    """
     bh, lq, d = q.shape
-    assert d == 128 and k.shape[2] == 128 and v.shape[2] == 128
-    lk = k.shape[1]
+    assert d == 128 and k.shape[1] == 128 and v.shape[2] == 128
+    lk = k.shape[2]
     num_k = lk // block_k
     h = bh // mask.shape[0]
     grid = (bh, lq // block_q, num_k)
-    if block_k % splits or (block_k // splits) % 128:
-        splits = 1
-    kernel = functools.partial(_kernel_fixed, num_k=num_k, masked=masked,
-                               splits=splits)
+    kernel = functools.partial(_kernel_fixed, num_k=num_k, masked=masked)
     flops = 4 * lq * lk * d * bh
     return pl.pallas_call(
         kernel,
@@ -199,7 +205,7 @@ def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, d, block_k), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
@@ -306,6 +312,10 @@ def _augment(qf: Array, kf: Array, vf: Array, shift: Array, d: int):
     p·v' carries the softmax normalizer in lane d (the PV matmul absorbs
     the row sum). The widened K=N=128 contractions cost the same MXU
     time as d=64 — the systolic array pads odd dimensions anyway.
+
+    K is returned TRANSPOSED (bh, 128, lk): the kernel's QK matmul then
+    reads its rhs in the MXU-native (K, N) layout instead of paying a
+    per-program XLU transpose of every kv block.
     """
     bh, lq, _ = qf.shape
     lk = kf.shape[1]
@@ -319,7 +329,7 @@ def _augment(qf: Array, kf: Array, vf: Array, shift: Array, d: int):
     neg_shift = jnp.broadcast_to(
         -shift * math.log2(math.e), (bh, lq, 1)).astype(qf.dtype)
     qa = jnp.concatenate([qf * scale, neg_shift, zq], axis=-1)
-    ka = jnp.concatenate([kf, ones, zk], axis=-1)
+    ka = jnp.concatenate([kf, ones, zk], axis=-1).transpose(0, 2, 1)
     va = jnp.concatenate([vf, ones, zk], axis=-1)
     return qa, ka, va
 
@@ -334,7 +344,6 @@ def flash_attention(
     block_q: int = BLOCK_Q,
     block_k: int = BLOCK_K,
     fixed_shift: bool = True,
-    splits: int = 1,
     interpret: bool = False,
 ) -> Array:
     """(B, L, H, D) flash attention.
@@ -344,8 +353,6 @@ def flash_attention(
     q_id[i] >= kv_id[j] (causal: ids = arange; VAE frame-causal: ids =
     frame index). ``fixed_shift`` selects the bounded-score softmax —
     only valid when scores are bounded (QK-RMSNorm'd inputs).
-    ``splits`` sub-chunks each kv block inside the kernel so VPU exp
-    overlaps the neighbor chunk's MXU matmuls.
     """
     b, lq, h, d = q.shape
     lk = k.shape[1]
@@ -353,6 +360,10 @@ def flash_attention(
     # d=64 head; other widths and id-masked callers take the online path
     if q_ids is not None or d % 128 != 64:
         fixed_shift = False
+    if not fixed_shift:
+        # the online kernel's fp32 score tile + row stats exceed VMEM at
+        # the fixed path's wider kv block
+        block_k = min(block_k, BLOCK_K_ONLINE)
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
@@ -377,7 +388,7 @@ def flash_attention(
         shift = score_bound(qf, kf)
         qa, ka, va = _augment(qf, kf, vf, shift, d)
         raw = _flash_fixed_bhld(qa, ka, va, mask, masked, block_q, block_k,
-                                splits=splits, interpret=interpret)
+                                interpret=interpret)
         raw = raw[:, :lq_orig]
         # lane d holds the softmax normalizer (ones column of V)
         out = (raw[..., :d]

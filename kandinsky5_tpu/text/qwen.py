@@ -228,92 +228,101 @@ def init_qwen_params_random(key, cfg: QwenTextConfig, dtype=jnp.bfloat16,
 # Greedy generation (prompt expansion)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
+def _prefill(params, cfg, ids, max_len):
+    b, l = ids.shape
+    x = jnp.take(params["embed_tokens"]["weight"], ids, axis=0)
+    positions = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
+    cos, sin = qwen_rope(positions, cfg.head_dim, cfg.rope_theta)
+    mask0 = jnp.tril(jnp.ones((l, l), bool))[None]
+    # pad mask to the cache width
+    mask = jnp.pad(mask0, ((0, 0), (0, 0), (0, max_len - l)))
+    caches = []
+    for i in range(cfg.num_hidden_layers):
+        p_i = jax.tree.map(lambda a: a[i], params["layers"])
+        cache0 = jnp.zeros(
+            (2, b, max_len, cfg.num_key_value_heads, cfg.head_dim), x.dtype)
+        x, cache = _layer(p_i, x, cos, sin, cfg, mask, cache0, 0)
+        caches.append(cache)
+    x = qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
+    logits = jnp.dot(x[:, -1], params["lm_head"]["weight"],
+                     preferred_element_type=jnp.float32)
+    return jnp.stack(caches), jnp.argmax(logits, axis=-1)
+
+
+_EOS_DEFAULT = (151645, 151643)  # <|im_end|>, <|endoftext|>
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "max_new",
+                                             "eos_token_ids"),
+                   donate_argnums=(1,))
+def _decode_loop(params, caches, first_token, prompt_len, *, cfg,
+                 max_len, max_new, eos_token_ids):
+    """Whole greedy decode in ONE jitted lax.while_loop: the 28 per-layer
+    caches live as one (L, 2, B, max_len, hkv, d) buffer scanned over
+    with the stacked layer params and updated in place (donated) — no
+    per-token host dispatch and no per-token cache restack. The scan
+    reads each layer's weights straight out of the stacked pytree, so
+    per-token HBM traffic stays ~one pass over the 15 GB of weights
+    (measured ~19 ms/token on v5e — the bandwidth floor)."""
+    eos_arr = jnp.asarray(eos_token_ids, jnp.int32)
+    out0 = jnp.zeros((max_new,), jnp.int32).at[0].set(first_token[0])
+    done0 = jnp.any(first_token[0] == eos_arr)
+
+    def cond(st):
+        _, _, _, _, n, done = st
+        return (n < max_new) & ~done
+
+    def body(st):
+        caches, last, pos, out, n, done = st
+        x = jnp.take(params["embed_tokens"]["weight"], last[:, None],
+                     axis=0)
+        cos, sin = qwen_rope(jnp.full((1, 1), pos, jnp.int32),
+                             cfg.head_dim, cfg.rope_theta)
+        mask = jnp.arange(max_len)[None, None, :] <= pos
+
+        def scan_layer(xc, inp):
+            p_i, cache_i = inp
+            xc, new_cache = _layer(p_i, xc, cos, sin, cfg, mask,
+                                   cache_i, pos)
+            return xc, new_cache
+
+        x, caches = jax.lax.scan(scan_layer, x,
+                                 (params["layers"], caches))
+        x = qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
+        logits = jnp.dot(x[:, -1], params["lm_head"]["weight"],
+                         preferred_element_type=jnp.float32)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        is_eos = jnp.any(token[0] == eos_arr)
+        out = out.at[n].set(jnp.where(is_eos, 0, token[0]))
+        n = n + jnp.where(is_eos, 0, 1)
+        return caches, token, pos + 1, out, n, is_eos
+
+    st = (caches, first_token, prompt_len, out0,
+          jnp.where(done0, 0, 1), done0)
+    st = jax.lax.while_loop(cond, body, st)
+    return st[3], st[4]
+
+
 def qwen_generate_greedy(params, cfg: QwenTextConfig, input_ids: np.ndarray,
                          max_new_tokens: int = 256,
-                         eos_token_ids: Tuple[int, ...] = (151645, 151643),
+                         eos_token_ids: Tuple[int, ...] = _EOS_DEFAULT,
                          ) -> np.ndarray:
     """Greedy decode (the reference's expand_prompt generation,
     t2v_pipeline.py:76-78, runs HF .generate with default greedy-ish
     sampling; we implement deterministic greedy). Single prompt (B=1).
 
-    Returns the newly generated token ids (echo trimmed).
+    Returns the newly generated token ids (echo trimmed). The prefill
+    and decode-loop jits live at module scope so repeat calls skip
+    re-tracing (a measured ~6 s/call host cost when they were closures).
     """
     ids = np.asarray(input_ids, np.int32).reshape(1, -1)
     prompt_len = ids.shape[1]
     max_len = prompt_len + max_new_tokens
-    hkv, d = cfg.num_key_value_heads, cfg.head_dim
 
-    # prefill
-    @functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
-    def prefill(params, cfg, ids, max_len):
-        b, l = ids.shape
-        x = jnp.take(params["embed_tokens"]["weight"], ids, axis=0)
-        positions = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
-        cos, sin = qwen_rope(positions, cfg.head_dim, cfg.rope_theta)
-        mask0 = jnp.tril(jnp.ones((l, l), bool))[None]
-        # pad mask to the cache width
-        mask = jnp.pad(mask0, ((0, 0), (0, 0), (0, max_len - l)))
-        caches = []
-        for i in range(cfg.num_hidden_layers):
-            p_i = jax.tree.map(lambda a: a[i], params["layers"])
-            cache0 = jnp.zeros(
-                (2, b, max_len, cfg.num_key_value_heads, cfg.head_dim), x.dtype)
-            x, cache = _layer(p_i, x, cos, sin, cfg, mask, cache0, 0)
-            caches.append(cache)
-        x = qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
-        logits = jnp.dot(x[:, -1], params["lm_head"]["weight"],
-                         preferred_element_type=jnp.float32)
-        return jnp.stack(caches), jnp.argmax(logits, axis=-1)
-
-    # whole decode in ONE jitted lax.while_loop: the 28 per-layer caches
-    # live as one (L, 2, B, max_len, hkv, d) buffer scanned over with the
-    # stacked layer params and updated in place (donated) — no per-token
-    # host dispatch and no per-token cache restack
-    eos_arr = jnp.asarray(eos_token_ids, jnp.int32)
-
-    @functools.partial(jax.jit, static_argnames=("cfg", "max_len", "max_new"),
-                       donate_argnums=(1,))
-    def decode_loop(params, caches, first_token, prompt_len, *, cfg,
-                    max_len, max_new):
-        out0 = jnp.zeros((max_new,), jnp.int32).at[0].set(first_token[0])
-        done0 = jnp.any(first_token[0] == eos_arr)
-
-        def cond(st):
-            _, _, _, _, n, done = st
-            return (n < max_new) & ~done
-
-        def body(st):
-            caches, last, pos, out, n, done = st
-            x = jnp.take(params["embed_tokens"]["weight"], last[:, None],
-                         axis=0)
-            cos, sin = qwen_rope(jnp.full((1, 1), pos, jnp.int32),
-                                 cfg.head_dim, cfg.rope_theta)
-            mask = jnp.arange(max_len)[None, None, :] <= pos
-
-            def scan_layer(xc, inp):
-                p_i, cache_i = inp
-                xc, new_cache = _layer(p_i, xc, cos, sin, cfg, mask,
-                                       cache_i, pos)
-                return xc, new_cache
-
-            x, caches = jax.lax.scan(scan_layer, x,
-                                     (params["layers"], caches))
-            x = qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
-            logits = jnp.dot(x[:, -1], params["lm_head"]["weight"],
-                             preferred_element_type=jnp.float32)
-            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            is_eos = jnp.any(token[0] == eos_arr)
-            out = out.at[n].set(jnp.where(is_eos, 0, token[0]))
-            n = n + jnp.where(is_eos, 0, 1)
-            return caches, token, pos + 1, out, n, is_eos
-
-        st = (caches, first_token, prompt_len, out0,
-              jnp.where(done0, 0, 1), done0)
-        st = jax.lax.while_loop(cond, body, st)
-        return st[3], st[4]
-
-    caches, token = prefill(params, cfg, jnp.asarray(ids), max_len)
-    out, n = decode_loop(params, caches, token.astype(jnp.int32),
-                         jnp.int32(prompt_len), cfg=cfg, max_len=max_len,
-                         max_new=max_new_tokens)
+    caches, token = _prefill(params, cfg, jnp.asarray(ids), max_len)
+    out, n = _decode_loop(params, caches, token.astype(jnp.int32),
+                          jnp.int32(prompt_len), cfg=cfg, max_len=max_len,
+                          max_new=max_new_tokens,
+                          eos_token_ids=tuple(eos_token_ids))
     return np.asarray(out)[:int(n)]
