@@ -100,15 +100,15 @@ def conv1x1(p, x: Array) -> Array:
     return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
-def group_norm(p, x: Array, groups: int = 32, eps: float = GROUPNORM_EPS) -> Array:
-    """GroupNorm over (T, H, W, C/groups) in fp32, NDHWC.
+def _gn_fold(p, x: Array, groups: int = 32,
+             eps: float = GROUPNORM_EPS) -> Tuple[Array, Array]:
+    """GroupNorm statistics folded into ONE per-channel scale+shift.
 
     Stats are computed channel-major: one lane-aligned reduction over all
     voxels to per-channel sums, then the (tiny) per-group fold — a single
     fused pass over the data, ~6x faster than reducing the (groups, c/g)
     reshape directly (the c/g=4..16 lane split defeats XLA's layout).
-    The normalize step folds mean/var/weight/bias into ONE per-channel
-    scale+shift so it fuses into neighboring elementwise ops.
+    Returns ((B, C) scale, (B, C) shift) in fp32.
     """
     b, t, h, w, c = x.shape
     n = t * h * w
@@ -124,22 +124,59 @@ def group_norm(p, x: Array, groups: int = 32, eps: float = GROUPNORM_EPS) -> Arr
     rstd = jax.lax.rsqrt(var + eps)
     wgt = p["weight"].astype(jnp.float32).reshape(groups, cg)
     bias = p["bias"].astype(jnp.float32).reshape(groups, cg)
-    scale_c = (rstd * wgt).reshape(b, 1, c)
-    shift_c = (bias - mean * rstd * wgt).reshape(b, 1, c)
-    y = xf * scale_c + shift_c
+    scale_c = (rstd * wgt).reshape(b, c)
+    shift_c = (bias - mean * rstd * wgt).reshape(b, c)
+    return scale_c, shift_c
+
+
+def group_norm(p, x: Array, groups: int = 32, eps: float = GROUPNORM_EPS) -> Array:
+    """GroupNorm over (T, H, W, C/groups) in fp32, NDHWC (see _gn_fold)."""
+    b, t, h, w, c = x.shape
+    scale_c, shift_c = _gn_fold(p, x, groups, eps)
+    y = (x.astype(jnp.float32).reshape(b, -1, c)
+         * scale_c[:, None] + shift_c[:, None])
     return y.reshape(b, t, h, w, c).astype(x.dtype)
+
+
+def _use_conv_pallas(p, x: Array) -> bool:
+    import os
+
+    from kandinsky5_tpu.ops.conv_pallas import conv_pallas_supported
+
+    # OPT-IN (KANDINSKY5_TPU_PALLAS_CONV=1). The Pallas implicit-GEMM
+    # conv beats XLA in isolation at the full-resolution Cout=128 shapes
+    # (90 vs 57-70 TFLOP/s) but LOSES composed into the decode graph
+    # (37.7 s vs 17.0 s full decode): the custom call pins its operands
+    # to the default layout, and XLA re-lays the activation tensor out
+    # around every call. Kept for when Mosaic grows layout negotiation
+    # or for standalone-conv workloads; see ops/conv_pallas.py.
+    if not os.environ.get("KANDINSKY5_TPU_PALLAS_CONV"):
+        return False
+    return (p["weight"].shape[-1] == 128
+            and x.shape[2] * x.shape[3] >= 512 * 512
+            and conv_pallas_supported(x, p["weight"], (1, 1, 1)))
+
+
+def _gn_silu_conv(p_norm, p_conv, x: Array) -> Array:
+    """GN -> SiLU -> causal conv, fused into the Pallas conv kernel when
+    supported (one HBM round trip for the activation instead of three)."""
+    if _use_conv_pallas(p_conv, x):
+        from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
+
+        scale_c, shift_c = _gn_fold(p_norm, x)
+        return causal_conv3d_fused(p_conv, x, scale=scale_c[0],
+                                   shift=shift_c[0], act=True)
+    h = group_norm(p_norm, x)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    return causal_conv3d(p_conv, h)
 
 
 def resnet_block(p, x: Array) -> Array:
     """GN -> SiLU -> conv -> GN -> SiLU -> conv + (1x1) shortcut
     (reference HunyuanVideoResnetBlockCausal3D, vae.py:230-275)."""
     residual = x
-    h = group_norm(p["norm1"], x)
-    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
-    h = causal_conv3d(p["conv1"], h)
-    h = group_norm(p["norm2"], h)
-    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
-    h = causal_conv3d(p["conv2"], h)
+    h = _gn_silu_conv(p["norm1"], p["conv1"], x)
+    h = _gn_silu_conv(p["norm2"], p["conv2"], h)
     if "conv_shortcut" in p:
         residual = causal_conv3d(p["conv_shortcut"], residual)
     return h + residual

@@ -362,8 +362,12 @@ def flash_attention(
         fixed_shift = False
     if not fixed_shift:
         # the online kernel's fp32 score tile + row stats exceed VMEM at
-        # the fixed path's wider kv block
+        # the fixed path's wider kv block; wide heads (the VAE's d=512
+        # mid attention) additionally need a shorter q block — the fp32
+        # accumulator alone is block_q*d*4 bytes
         block_k = min(block_k, BLOCK_K_ONLINE)
+        if d >= 256:
+            block_q = min(block_q, 768)
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)

@@ -59,3 +59,33 @@ def test_sparse_interpret_exact_and_banked():
     ref8 = masked_block_attention_xla(q, k, v, jnp.repeat(gmask, 8, axis=2))
     np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_conv_pallas_interpret_plain_and_fused():
+    """Implicit-GEMM causal conv (opt-in kernel) == XLA causal conv,
+    plain and with the folded-GroupNorm+SiLU prologue."""
+    from kandinsky5_tpu.models.vae import causal_conv3d, group_norm, _gn_fold
+    from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    B, T, H, W, C = 1, 3, 16, 128, 128
+    x = jax.random.normal(ks[0], (B, T, H, W, C), jnp.float32)
+    p = {"weight": jax.random.normal(ks[1], (3, 3, 3, C, C),
+                                     jnp.float32) * 0.05,
+         "bias": jax.random.normal(ks[2], (C,), jnp.float32)}
+
+    ref = causal_conv3d(p, x)
+    out = causal_conv3d_fused(p, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    gnp = {"weight": jnp.full((C,), 1.3, jnp.float32),
+           "bias": jnp.full((C,), 0.1, jnp.float32)}
+    h = group_norm(gnp, x)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    ref2 = causal_conv3d(p, h)
+    scale, shift = _gn_fold(gnp, x)
+    out2 = causal_conv3d_fused(p, x, scale=scale[0], shift=shift[0],
+                               act=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-4)
