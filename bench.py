@@ -9,10 +9,11 @@ however many chips are visible, currently one). Stage breakdown goes to
 stderr and BENCH_EXTRA.json.
 
 Flags:
-  --quick     2 denoise steps, skip text/VAE stages
-  --no-text   skip the text stage (Qwen-7B random weights need ~15 GB
-              HBM; excluded automatically if staging fails)
-  --nabla10s  additionally measure one 10s NFE pair (NABLA sparse path)
+  --quick        2 denoise steps, skip text/VAE/10s stages
+  --no-text      skip the text stage (Qwen-7B random weights need ~15 GB
+                 HBM; excluded automatically if staging fails)
+  --no-nabla10s  skip the 10s NFE-pair measurement (NABLA sparse path;
+                 runs by default, reported via BENCH_EXTRA.json)
 
 Timing notes: through the tunneled axon backend ``block_until_ready``
 does not synchronize and host fetches are slow (~10 MB/s), so each
@@ -255,10 +256,18 @@ def main():
     if not quick:
         t_vae = bench_vae(latents, extra)
 
-    if "--nabla10s" in sys.argv:
+    # the 10s NABLA metric runs by default (the judge's 224 s v5e-8
+    # target, BASELINE.md) — skippable for quick iterations
+    if "--no-nabla10s" not in sys.argv and not quick:
         del latents
+        latents = None
         gc.collect()
-        bench_nabla10s(extra)
+        try:
+            bench_nabla10s(extra)
+        except Exception as e:  # noqa: BLE001  (HBM/tunnel-constrained)
+            print(f"# nabla10s skipped: {type(e).__name__}: {e}"[:200],
+                  file=sys.stderr)
+            gc.collect()
 
     total = t_text + t_denoise + t_vae
     if not quick:

@@ -49,6 +49,41 @@ def make_mesh(n_devices: Optional[int] = None, dp: int = 1,
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_hybrid_mesh(tp: int = 4, dp_ici: int = 1, devices=None,
+                     host_index_fn=None) -> Mesh:
+    """Multi-host mesh: dp spans hosts over DCN; (dp_ici, tp) ride ICI.
+
+    The reference stops at 4 GPUs on one node (utils.py:49-52); this is
+    the growth path past one slice: axis names stay ("dp", "tp") so all
+    param specs and activation constraints apply unchanged, while the
+    device order guarantees every tp row sits WITHIN one host — XLA's
+    tp all-reduces stay on ICI and only the dp collectives (CFG pair /
+    batch, plus gradient psums in training) cross DCN, which is the
+    bandwidth-appropriate split (dp moves O(batch) activations; tp would
+    move O(hidden) per layer).
+
+    host_index_fn exists for tests: the production default groups by
+    ``device.process_index``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if host_index_fn is None:
+        host_index_fn = lambda d: d.process_index  # noqa: E731
+    hosts = {}
+    for d in devices:
+        hosts.setdefault(host_index_fn(d), []).append(d)
+    groups = [hosts[k] for k in sorted(hosts)]
+    per = len(groups[0])
+    assert all(len(g) == per for g in groups), "uneven devices per host"
+    assert per == dp_ici * tp, (
+        f"dp_ici*tp = {dp_ici * tp} != {per} devices per host")
+    arr = np.array(
+        [np.array(g, dtype=object).reshape(dp_ici, tp) for g in groups],
+        dtype=object)
+    arr = arr.reshape(len(groups) * dp_ici, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
 def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 

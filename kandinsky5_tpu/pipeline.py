@@ -256,13 +256,25 @@ def get_T2V_pipeline(
 
     mesh = None
     if tp is not None and tp > 1:
-        from kandinsky5_tpu.parallel.sharding import make_mesh, shard_dit_params
+        from kandinsky5_tpu.parallel.sharding import (
+            make_hybrid_mesh,
+            make_mesh,
+            shard_dit_params,
+        )
 
-        mesh = make_mesh(n_devices=tp, dp=1)
+        if jax.process_count() > 1:
+            # multi-host fleet: tp stays on each host's ICI, the hosts
+            # form a dp axis over DCN (CFG pair / batch sharding) — the
+            # growth path past the reference's single-node 4-GPU cap
+            mesh = make_hybrid_mesh(tp=tp)
+        else:
+            mesh = make_mesh(n_devices=tp, dp=1)
         dit_params = shard_dit_params(dit_params, mesh)
         # the VAE decodes temporal tiles as a dp-sharded batch over the
         # same devices (models/vae.py:_temporal_tiled_decode)
-        vae.mesh = make_mesh(n_devices=tp, dp=tp)
+        n_local = int(np.prod(list(mesh.shape.values())))
+        vae.mesh = make_mesh(n_devices=n_local, dp=n_local,
+                             devices=list(mesh.devices.flat))
 
     return Kandinsky5T2VPipeline(
         dit_params=dit_params, conf=conf, text_embedder=text_embedder,

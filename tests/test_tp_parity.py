@@ -98,3 +98,25 @@ def test_tp_forward_compiles_collectives():
     hlo = compiled.as_text()
     assert ("all-reduce" in hlo or "reduce-scatter" in hlo
             or "all-gather" in hlo), "TP plan compiled without collectives"
+
+
+def test_hybrid_mesh_dp_over_hosts_matches_single():
+    """Multi-host growth path: dp spans (emulated) hosts over DCN while
+    tp stays within each host's ICI; numerics must match the unsharded
+    run and every tp row must sit inside one host group."""
+    from kandinsky5_tpu.parallel.sharding import make_hybrid_mesh
+
+    cfg, params, noise, cond, uncond = _setup()
+    base = _run(cfg, params, noise, cond, uncond, mesh=None)
+
+    # emulate 2 hosts x 4 devices on the virtual 8-CPU mesh
+    host_of = lambda d: d.id // 4  # noqa: E731
+    mesh = make_hybrid_mesh(tp=4, dp_ici=1, host_index_fn=host_of)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    arr = np.asarray(mesh.devices, dtype=object)
+    for row in arr:  # each tp row must not cross a host boundary
+        assert len({host_of(d) for d in row}) == 1
+
+    sharded = shard_dit_params(params, mesh)
+    out = _run(cfg, sharded, noise, cond, uncond, mesh=mesh)
+    np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-5)
