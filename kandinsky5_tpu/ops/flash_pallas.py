@@ -360,6 +360,11 @@ def flash_attention(
     # d=64 head; other widths and id-masked callers take the online path
     if q_ids is not None or d % 128 != 64:
         fixed_shift = False
+    # short sequences (text self/cross attention: 256 tokens vs the
+    # 1536-wide default blocks) would otherwise pad K/V 6x and compute
+    # masked garbage; clamp blocks to the 128-rounded true length
+    block_q = min(block_q, -(-lq // 128) * 128)
+    block_k = min(block_k, -(-lk // 128) * 128)
     if not fixed_shift:
         # the online kernel's fp32 score tile + row stats exceed VMEM at
         # the fixed path's wider kv block; wide heads (the VAE's d=512
