@@ -228,7 +228,10 @@ def bench_nabla10s(extra):
     n_dev = len(jax.devices())
     print(f"# 10s NABLA NFE pair: compile+first {compile_s:.1f}s, steady "
           f"{t_pair:.1f}s (1 chip; v5e-8 projection ~{t_pair / 8:.1f}s x "
-          f"50 pairs = {t_pair / 8 * 50:.0f}s vs 224s baseline)",
+          f"50 pairs = {t_pair / 8 * 50:.0f}s vs 224s baseline). NOTE: "
+          f"random weights give uniform attention, so the NABLA mask sits "
+          f"at its density ceiling — this is the sparse path's WORST case; "
+          f"real checkpoints measure 5-15% density (peaked attention).",
           file=sys.stderr)
     extra["10s_sft_nfe_pair_seconds"] = round(t_pair, 2)
     extra["10s_sft_v5e8_projection_seconds"] = round(t_pair / 8 * 50, 1)
