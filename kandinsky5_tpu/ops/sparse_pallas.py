@@ -39,7 +39,7 @@ from kandinsky5_tpu.ops.flash_pallas import score_bound
 Array = jax.Array
 
 BLOCK = 64      # tokens per NABLA block (flex BLOCK_SIZE=64)
-GROUP = 8       # kv blocks fetched per DMA group (512 tokens)
+STEP = 512      # kv tokens consumed per kernel step (one MXU-shaped tile)
 _NEG = -1e30
 
 
@@ -52,35 +52,38 @@ def sparse_supported(q: Array) -> bool:
 
 
 def _kernel(nb_ref, inds_ref, shift_ref, q_ref, kv_hbm, o_ref,
-            kvbuf, sems, acc_ref, l_ref, *, s1: int, d: int,
-            scale: float, bank_rows: int):
+            kvbuf, sems, acc_ref, l_ref, *, n_pages: int, d: int,
+            page: int, group: int, bank_rows: int):
     """One (batch*head, q-bank) program.
 
-    kv_hbm: (bh, s1, BLOCK, 2d) lane-packed K||V blocks; each DMA copies
-    one full (BLOCK, 2d) sub-array (128-lane aligned for d=64).
-    nb_ref: (1, 1, n_banks) SMEM counts; inds_ref: (1, bank_rows, s1)
-    SMEM block packing ``bank_rows`` banks' index lists (revisited by the
-    index map to satisfy SMEM tile-shape rules); ``row`` selects this
-    program's list.
+    kv_hbm: (bh, n_pages, page, 2d) lane-packed K||V pages; each DMA
+    copies one full (page, 2d) sub-array (128-lane aligned for d=64).
+    ``page`` tokens per DMA (64 = exact flex granularity, 128 = paired
+    pages halving the DMA issue rate, which bounds this kernel);
+    ``group`` pages per kernel step (group*page == STEP tokens).
+    nb_ref: (1, 1, n_banks) SMEM ACTIVE-PAGE counts; inds_ref:
+    (1, bank_rows, n_pages) SMEM page-index lists packing ``bank_rows``
+    banks (revisited by the index map to satisfy SMEM tile-shape
+    rules); ``row`` selects this program's list.
     """
     bh_idx = pl.program_id(0)
     i = pl.program_id(1)
     row = jax.lax.rem(i, bank_rows)
     nb = nb_ref[0, 0, i]
     shift = shift_ref[0]
-    nsteps = (nb + GROUP - 1) // GROUP
+    nsteps = (nb + group - 1) // group
 
     def group_dma(g, slot, p):
-        idx = inds_ref[0, row, jnp.minimum(g * GROUP + p, s1 - 1)]
+        idx = inds_ref[0, row, jnp.minimum(g * group + p, n_pages - 1)]
         return pltpu.make_async_copy(
             kv_hbm.at[bh_idx, idx], kvbuf.at[slot, p], sems.at[slot, p])
 
     def start_group(g, slot):
-        for p in range(GROUP):
+        for p in range(group):
             group_dma(g, slot, p).start()
 
     def wait_group(g, slot):
-        for p in range(GROUP):
+        for p in range(group):
             group_dma(g, slot, p).wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -103,19 +106,23 @@ def _kernel(nb_ref, inds_ref, shift_ref, q_ref, kv_hbm, o_ref,
 
         wait_group(g, slot)
 
-        kv = kvbuf[slot].reshape(GROUP * BLOCK, 2 * d)
+        kv = kvbuf[slot].reshape(group * page, 2 * d)
         kblk = kv[:, :d]
         vblk = kv[:, d:]
+        # q arrives pre-scaled by scale*log2(e) (see _sparse_bhld), so
+        # the matmul emits log2-domain scores directly and exp2 — the
+        # native VPU transcendental — replaces exp; the explicit
+        # *scale VPU pass over the score tile is gone
         s = jax.lax.dot_general(
             q, kblk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (q_block, GROUP*BLOCK)
+        )  # (q_block, GROUP*BLOCK), scaled by log2(e)/sqrt(d)
         # mask garbage columns of the ragged last group
-        col_block = g * GROUP + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1) // BLOCK
-        s = jnp.where(col_block < nb, s, _NEG)
-        p = jnp.exp(s - shift)
+        col_page = g * group + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1) // page
+        s = jnp.where(col_page < nb, s, _NEG)
+        p = jnp.exp2(s - shift)
         l_ref[...] += jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
         acc_ref[...] += jax.lax.dot_general(
@@ -135,22 +142,22 @@ def _sparse_bhld(q: Array, kv: Array, kv_inds: Array, kv_nb: Array,
                  shift: Array, q_rows: int,
                  interpret: bool = False) -> Array:
     bh, sq, d = q.shape
-    s1 = kv.shape[1]              # kv is (bh, s1, BLOCK, 2d)
+    n_pages, page = kv.shape[1], kv.shape[2]  # kv: (bh, n_pages, page, 2d)
+    group = STEP // page
     n_banks = (sq // BLOCK) // q_rows
     q_block = q_rows * BLOCK
     # SMEM tile-shape rules: the second-to-last block dim must divide by
     # 8 or equal the array dim — pack 8 banks per block, or all of them
     bank_rows = 8 if n_banks % 8 == 0 else n_banks
-    scale = 1.0 / math.sqrt(d)
-    kernel = functools.partial(_kernel, s1=s1, d=d, scale=scale,
-                               bank_rows=bank_rows)
+    kernel = functools.partial(_kernel, n_pages=n_pages, d=d, page=page,
+                               group=group, bank_rows=bank_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(bh, n_banks),
         in_specs=[
             pl.BlockSpec((1, 1, n_banks), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.SMEM),            # kv_nb row
-            pl.BlockSpec((1, bank_rows, s1),
+            pl.BlockSpec((1, bank_rows, n_pages),
                          lambda b, i: (b, i // bank_rows, 0),
                          memory_space=pltpu.SMEM),            # kv_inds bank
             pl.BlockSpec(memory_space=pltpu.SMEM),            # shift
@@ -161,8 +168,8 @@ def _sparse_bhld(q: Array, kv: Array, kv_inds: Array, kv_nb: Array,
         out_specs=pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, BLOCK, 2 * d), q.dtype),    # kv buffer
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((2, group, page, 2 * d), q.dtype),     # kv buffer
+            pltpu.SemaphoreType.DMA((2, group)),
             pltpu.VMEM((q_block, d), jnp.float32),            # acc
             pltpu.VMEM((q_block, 128), jnp.float32),          # l
         ],
@@ -181,23 +188,32 @@ def _sparse_bhld(q: Array, kv: Array, kv_inds: Array, kv_nb: Array,
 
 def sparse_attention(q: Array, k: Array, v: Array, kv_inds: Array,
                      kv_nb: Array, q_rows: int = 1,
+                     kv_page_blocks: int = 1,
                      interpret: bool = False) -> Array:
     """(B, S, H, D) block-sparse attention.
 
-    kv_inds: (B, H, n_banks, s1) int32 active-first column lists;
-    kv_nb: (B, H, n_banks) int32 active counts, where
-    n_banks = s1 // q_rows (ops/nabla.block_mask_to_kv_lists on the
-    (optionally union-grouped) mask).
+    kv_inds: (B, H, n_banks, n_pages) int32 active-first PAGE lists;
+    kv_nb: (B, H, n_banks) int32 active-page counts, where
+    n_banks = s1 // q_rows and n_pages = s1 // kv_page_blocks
+    (ops/nabla.block_mask_to_kv_lists on the grouped/paged mask).
+    ``kv_page_blocks=2`` fetches 128-token pages — half the DMA issues,
+    which bound this kernel; the caller supplies the page-unioned mask.
     """
     b, s, h, d = q.shape
     s1 = s // BLOCK
+    page = kv_page_blocks * BLOCK
+    n_pages = s1 // kv_page_blocks
     n_banks = s1 // q_rows
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, s, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    inds = kv_inds.reshape(b * h, n_banks, s1)
+    inds = kv_inds.reshape(b * h, n_banks, n_pages)
     nb = kv_nb.reshape(b * h, 1, n_banks)
-    shift = score_bound(qf, kf)
+    # fold softmax scale + the exp->exp2 base change into q and the
+    # shift (see _kernel): s and shift both live in the log2 domain
+    shift = score_bound(qf, kf) * math.log2(math.e)
+    qf = (qf.astype(jnp.float32)
+          * (math.log2(math.e) / math.sqrt(d))).astype(qf.dtype)
     # pad the bank dim to a multiple of 8 so each SMEM index block holds
     # 8 banks (a full-list block would blow the ~1MB SMEM budget at the
     # 10s shape); padded banks have zero counts and their q rows are
@@ -207,8 +223,9 @@ def sparse_attention(q: Array, k: Array, v: Array, kv_inds: Array,
         inds = jnp.pad(inds, ((0, 0), (0, bank_pad), (0, 0)))
         nb = jnp.pad(nb, ((0, 0), (0, 0), (0, bank_pad)))
         qf = jnp.pad(qf, ((0, 0), (0, bank_pad * q_rows * BLOCK), (0, 0)))
-    # lane-packed block-major K||V: one 128-lane-aligned DMA per block
-    kv = jnp.concatenate([kf, vf], axis=-1).reshape(b * h, s1, BLOCK, 2 * d)
+    # lane-packed page-major K||V: one 128-lane-aligned DMA per page
+    kv = jnp.concatenate([kf, vf], axis=-1).reshape(b * h, n_pages, page,
+                                                   2 * d)
     out = _sparse_bhld(qf, kv, inds, nb, shift, q_rows=q_rows,
                        interpret=interpret)
     out = out[:, :s]

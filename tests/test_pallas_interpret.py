@@ -89,3 +89,24 @@ def test_conv_pallas_interpret_plain_and_fused():
                                act=True, interpret=True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_interpret_paged_kv():
+    """kv_page_blocks=2 (128-token DMA pages) == XLA attention under the
+    page-unioned mask."""
+    key = jax.random.PRNGKey(3)
+    s1 = 16
+    q, k, v = _qkv(key, 1, s1 * 64, 2, 64)
+    sta = jnp.asarray(sta_mask(4, 2, 2, 3, 3, 3))
+    mask = nabla_block_mask(q, k, sta, thr=0.5, method="sort")
+    gmask = group_union_mask(mask, 8)
+    b, h, rows, _ = gmask.shape
+    pmask = gmask.reshape(b, h, rows, s1 // 2, 2).any(axis=-1)
+    pi, pn = block_mask_to_kv_lists(pmask)
+    out = sparse_attention(q, k, v, pi, pn, q_rows=8, kv_page_blocks=2,
+                           interpret=True)
+    # expand the page mask back to 64-block columns, then to q rows
+    expanded = jnp.repeat(jnp.repeat(pmask, 2, axis=3), 8, axis=2)
+    ref = masked_block_attention_xla(q, k, v, expanded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
