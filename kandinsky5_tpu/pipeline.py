@@ -109,6 +109,7 @@ class Kandinsky5T2VPipeline:
         save_path: Optional[Union[str, List[str]]] = None,
         progress: bool = True,
         host_loop: Optional[bool] = None,
+        checkpoint_path: Optional[str] = None,
     ):
         num_steps = self.conf.model.num_steps if num_steps is None else num_steps
         guidance_weight = (self.conf.model.guidance_weight
@@ -167,10 +168,20 @@ class Kandinsky5T2VPipeline:
         from kandinsky5_tpu.parallel.sharding import sharding_ctx
 
         with sharding_ctx(self.mesh):
-            latents = generate_latents(dit_params, spec, latent_shape,
-                                       cond_d, uncond_d, seed=seed,
-                                       magcache=mag, host_loop=host_loop,
-                                       progress=progress)
+            if checkpoint_path is not None:
+                # preemption-safe chunked denoise: resumes from the
+                # state file if the same job was interrupted
+                from kandinsky5_tpu.utils.resume import resumable_generate
+
+                latents = resumable_generate(
+                    dit_params, spec, latent_shape, cond_d, uncond_d,
+                    seed=seed, checkpoint_path=checkpoint_path,
+                    magcache=mag, progress=progress)
+            else:
+                latents = generate_latents(dit_params, spec, latent_shape,
+                                           cond_d, uncond_d, seed=seed,
+                                           magcache=mag, host_loop=host_loop,
+                                           progress=progress)
         if progress:
             latents.block_until_ready()
             print(f"denoise: {time.time() - t0:.1f}s "

@@ -129,14 +129,28 @@ def _build_sparse(spec: DenoiseSpec, grid) -> Optional[SparseParams]:
                         max_density=spec.nabla_max_density)
 
 
+def denoise_residual0(spec: DenoiseSpec, noise_shape) -> Tuple[int, int]:
+    """(b_eff, seq_len) of the MagCache residual carried by the scan."""
+    cfg = spec.dit_params
+    batch = noise_shape[0]
+    b_eff = 2 * batch if spec.use_cfg else batch
+    seq_len = (noise_shape[1] // cfg.patch_size[0]
+               * noise_shape[2] // cfg.patch_size[1]
+               * noise_shape[3] // cfg.patch_size[2])
+    return b_eff, seq_len
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spec",),
 )
-def denoise(
+def denoise_span(
     params,
     spec: DenoiseSpec,
     noise: Array,
+    residual0: Array,
+    times: Array,
+    dts: Array,
     text_embeds: Array,
     pooled_embed: Array,
     text_mask: Array,
@@ -144,20 +158,18 @@ def denoise(
     null_pooled_embed: Array,
     null_text_mask: Array,
     skip_schedule: Array,
-) -> Array:
-    """Run the full Euler flow-matching integration.
+) -> Tuple[Array, Array]:
+    """Integrate an arbitrary SPAN of the Euler schedule.
 
-    noise: (B, T, H, W, C) float32 seed latents (B prompts batched; the
-    reference is single-prompt, generation_utils.py:132).
-    text/null embeds: (B, L, in_text_dim); pooled: (B, in_text_dim2);
-    masks: (B, L) bool.
-    skip_schedule: (num_steps, 2) bool MagCache plan (all-False = off).
-    Returns the final latent, same shape/dtype as ``noise``.
+    Same computation as :func:`denoise`, but the timesteps (times, dts —
+    (k,) slices of the full grid), the incoming MagCache residual and
+    the matching (k, 2) skip slice arrive as arguments and the carried
+    residual is returned — the building block for the chunked /
+    preemption-resumable path (utils/resume.py).
     """
     cfg = spec.dit_params
     use_cfg = spec.use_cfg
     batch = noise.shape[0]
-    b_eff = 2 * batch if use_cfg else batch
 
     if use_cfg:
         # [cond_0..cond_B-1, uncond_0..uncond_B-1]
@@ -173,12 +185,6 @@ def denoise(
             w_lat // cfg.patch_size[2])
     sparse = _build_sparse(spec, grid)
     to_fractal = sparse is not None
-
-    ts = jnp.asarray(timestep_grid(spec.num_steps, spec.scheduler_scale))
-    times, dts = ts[:-1], jnp.diff(ts)
-
-    seq_len = grid[0] * grid[1] * grid[2]
-    residual0 = jnp.zeros((b_eff, seq_len, cfg.model_dim), pdtype)
 
     def dit_call(model_in, text_i, pooled_i, mask_i, t, skip_b, residual_i):
         """One DiT evaluation with MagCache skip/residual handling."""
@@ -247,8 +253,45 @@ def denoise(
         x = x + dt * velocity
         return (x, residual), None
 
-    (x, _), _ = jax.lax.scan(
+    (x, residual), _ = jax.lax.scan(
         step, (noise, residual0), (times, dts, skip_schedule))
+    return x, residual
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec",),
+)
+def denoise(
+    params,
+    spec: DenoiseSpec,
+    noise: Array,
+    text_embeds: Array,
+    pooled_embed: Array,
+    text_mask: Array,
+    null_text_embeds: Array,
+    null_pooled_embed: Array,
+    null_text_mask: Array,
+    skip_schedule: Array,
+) -> Array:
+    """Run the full Euler flow-matching integration.
+
+    noise: (B, T, H, W, C) float32 seed latents (B prompts batched; the
+    reference is single-prompt, generation_utils.py:132).
+    text/null embeds: (B, L, in_text_dim); pooled: (B, in_text_dim2);
+    masks: (B, L) bool.
+    skip_schedule: (num_steps, 2) bool MagCache plan (all-False = off).
+    Returns the final latent, same shape/dtype as ``noise``.
+    """
+    cfg = spec.dit_params
+    pdtype = params["visual_embeddings"]["in_layer"]["weight"].dtype
+    ts = jnp.asarray(timestep_grid(spec.num_steps, spec.scheduler_scale))
+    b_eff, seq_len = denoise_residual0(spec, noise.shape)
+    residual0 = jnp.zeros((b_eff, seq_len, cfg.model_dim), pdtype)
+    x, _ = denoise_span(
+        params, spec, noise, residual0, ts[:-1], jnp.diff(ts),
+        text_embeds, pooled_embed, text_mask,
+        null_text_embeds, null_pooled_embed, null_text_mask, skip_schedule)
     return x
 
 
