@@ -114,7 +114,12 @@ def bench_text_stage(extra):
 def bench_denoise(quick, extra):
     from kandinsky5_tpu.config import DiTParams
     from kandinsky5_tpu.models.dit import fast_init_dit_params
-    from kandinsky5_tpu.sampling import DenoiseSpec, denoise
+    from kandinsky5_tpu.sampling import (
+        DenoiseSpec,
+        denoise_residual0,
+        denoise_span,
+        timestep_grid,
+    )
 
     cfg = DiTParams()  # released 2B architecture
     params = fast_init_dit_params(jax.random.PRNGKey(0), cfg,
@@ -124,12 +129,12 @@ def bench_denoise(quick, extra):
     # latent (31, 64, 96, 16) -> 47,616 visual tokens (BASELINE.md)
     chunk_steps = 2 if quick else 4
     n_chunks = 1 if quick else 4
+    num_steps = chunk_steps * n_chunks
     spec = DenoiseSpec(
-        dit_params=cfg, num_steps=chunk_steps, guidance_weight=1.0,
+        dit_params=cfg, num_steps=num_steps, guidance_weight=1.0,
         scheduler_scale=5.0, scale_factor=(1.0, 2.0, 2.0),
         attention_type="flash", attn_impl="auto",
     )
-    num_steps = chunk_steps * n_chunks
 
     rng = np.random.RandomState(0)
     L = 256
@@ -137,12 +142,21 @@ def bench_denoise(quick, extra):
     te = jnp.asarray(rng.randn(1, L, cfg.in_text_dim), jnp.bfloat16)
     pe = jnp.asarray(rng.randn(1, cfg.in_text_dim2), jnp.bfloat16)
     mask = jnp.ones((1, L), bool)
-    skip = jnp.zeros((chunk_steps, 2), bool)
+    skip = jnp.zeros((num_steps, 2), bool)
+    ts = timestep_grid(num_steps, spec.scheduler_scale)
+    times, dts = jnp.asarray(ts[:-1]), jnp.asarray(np.diff(ts))
+    b_eff, seq_len = denoise_residual0(spec, noise.shape)
+    res0 = jnp.zeros((b_eff, seq_len, cfg.model_dim), jnp.bfloat16)
 
     def run_denoise():
-        x = noise
-        for _ in range(n_chunks):
-            x = denoise(params, spec, x, te, pe, mask, te, pe, mask, skip)
+        # the TRUE num_steps trajectory integrated in chunked spans
+        # (the tunneled bench chip kills single executions >~1 min;
+        # denoise_span threads the exact scan carry across chunks)
+        x, res = noise, res0
+        for c in range(n_chunks):
+            sl = slice(c * chunk_steps, (c + 1) * chunk_steps)
+            x, res = denoise_span(params, spec, x, res, times[sl], dts[sl],
+                                  te, pe, mask, te, pe, mask, skip[sl])
             _sync_scalar(x)
         return x
 
