@@ -84,16 +84,6 @@ def _apply_masks(s, mask_ref, qid_ref, kid_ref, masked, ids_masked):
     return s
 
 
-def _block_live(qid_ref, kid_ref, ids_masked):
-    """False iff the whole (q-block, kv-block) tile is id-masked.
-    ids are non-decreasing, so compare q max (last) vs kv min (first).
-    TODO(perf): reading VMEM scalars in a pl.when predicate stalls the
-    Mosaic compile; block skipping needs SMEM-resident per-block bounds
-    (scalar prefetch). Disabled until then — correctness is unaffected,
-    masked blocks just compute zero contributions."""
-    return True
-
-
 def _kernel_fixed(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, *,
                   num_k: int, masked: bool):
     """Fixed-shift softmax, fully MXU-folded.
@@ -141,10 +131,18 @@ def _kernel_fixed(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, *,
         o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _kernel_online(q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref, shift_ref,
-                   o_ref, acc_ref, l_ref, m_ref, *, scale: float, num_k: int,
-                   masked: bool, ids_masked: bool):
-    """Classic running-max online softmax (for un-normed QK)."""
+def _kernel_online(live_ref, q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref,
+                   shift_ref, o_ref, acc_ref, l_ref, m_ref, *, scale: float,
+                   num_k: int, heads: int, masked: bool, ids_masked: bool):
+    """Classic running-max online softmax (for un-normed QK).
+
+    ``live_ref`` is the scalar-prefetched (B, n_qb, n_kb) liveness table
+    (segment-id monotonicity: block-max qid >= block-min kid); fully
+    id-masked tiles skip both matmuls — the VAE's frame-causal
+    attention is ~half dead tiles.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -153,7 +151,7 @@ def _kernel_online(q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref, shift_ref,
         m_ref[...] = jnp.full_like(m_ref, _NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    @pl.when(_block_live(qid_ref, kid_ref, ids_masked))
+    @pl.when(live_ref[b // heads, i, j] != 0)
     def _update():
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0],
@@ -240,38 +238,55 @@ def _flash_bhld(q: Array, k: Array, v: Array, mask: Array, q_ids: Array,
     lk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
     num_k = lk // block_k
+    n_qb = lq // block_q
     h = bh // mask.shape[0]
-    grid = (bh, lq // block_q, num_k)
+    b = mask.shape[0]
+    grid = (bh, n_qb, num_k)
+    # per-(q-block, kv-block) liveness from the segment-id monotonicity:
+    # a tile is dead iff its max q id < its min kv id. Scalar-prefetched
+    # to SMEM so the kernel can branch before touching the MXU.
+    if ids_masked:
+        qmax = q_ids[:, :, 0].reshape(b, n_qb, block_q).max(axis=-1)
+        kmin = kv_ids[:, 0, :].reshape(b, num_k, block_k).min(axis=-1)
+        live = (qmax[:, :, None] >= kmin[:, None, :]).astype(jnp.int32)
+    else:
+        live = jnp.ones((b, n_qb, num_k), jnp.int32)
     scratch = [
         pltpu.VMEM((block_q, d), jnp.float32),
         pltpu.VMEM((block_q, _STAT), jnp.float32),
         pltpu.VMEM((block_q, _STAT), jnp.float32),
     ]
-    kw = dict(scale=scale, num_k=num_k, masked=masked, ids_masked=ids_masked)
+    kw = dict(scale=scale, num_k=num_k, heads=h, masked=masked,
+              ids_masked=ids_masked)
     kernel = functools.partial(_kernel_online, **kw)
     flops = 4 * lq * lk * d * bh
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j, *_: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j, *_: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j, *_: (b // h, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b // h, i, 0),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda b, i, j, *_: (b // h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b // h, 0, j),
+            pl.BlockSpec((1, 8, block_k), lambda b, i, j, *_: (b // h, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j, *_: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
         scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             # bh/q-block dims are independent; kv is the softmax reduction
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -280,7 +295,7 @@ def _flash_bhld(q: Array, k: Array, v: Array, mask: Array, q_ids: Array,
             flops=flops, bytes_accessed=2 * (q.size + k.size + v.size),
             transcendentals=lq * lk * bh),
         interpret=interpret,
-    )(q, k, v, mask, q_ids, kv_ids, shift)
+    )(live, q, k, v, mask, q_ids, kv_ids, shift)
 
 
 def _pad_to(x: Array, axis: int, mult: int, value=0):
