@@ -10,7 +10,7 @@ Kernel structure (paged-attention style):
   * grid (batch*heads, q_banks); K/V stay in HBM;
   * the bank's active block list sits in SMEM (scalar reads drive DMA
     addressing);
-  * KV blocks are fetched in groups of GROUP=8 (512 tokens) with
+  * KV pages are fetched in groups of STEP=512 tokens with
     double-buffered async DMA overlapping the MXU;
   * k and v are packed lane-wise into one (bh, s1, 64, 2d) HBM array:
     manual DMAs need 128-aligned lane extents (d=64 alone is rejected),
@@ -59,7 +59,7 @@ def sparse_supported(q: Array) -> bool:
         return False
     b, s, h, d = q.shape
     s1 = s // BLOCK
-    return s % (BLOCK * GROUP) == 0 and s1 % 8 == 0 and d in (64, 128)
+    return s % STEP == 0 and s1 % 8 == 0 and d in (64, 128)
 
 
 def _kernel(nb_ref, inds_ref, shift_ref, q_ref, kv_hbm, o_ref,
@@ -128,7 +128,7 @@ def _kernel(nb_ref, inds_ref, shift_ref, q_ref, kv_hbm, o_ref,
             q, kblk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (q_block, GROUP*BLOCK), scaled by log2(e)/sqrt(d)
+        )  # (q_block, group*page), scaled by log2(e)/sqrt(d)
         # mask garbage columns of the ragged last group
         col_page = g * group + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1) // page
