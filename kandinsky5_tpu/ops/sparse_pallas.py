@@ -31,8 +31,10 @@ Measured cost model (v5e, 10s shape: 28 heads x 183 banks):
     (~0.7-1 us) exceed the 0.35 us of MXU work — the kernel is
     DMA-issue-rate-bound. 128-token pages (kv_page_blocks=2) halve the
     issues but the pair-union densifies the mask by ~8%: a measured
-    wash. Next lever: several banks (own lists, no union) per program
-    to amortize the fixed cost.
+    wash. Running 2 banks (own lists, no union) per program was also
+    measured NEUTRAL (165 vs 166 ms at 12% density; the fixed cost
+    scales per bank — accumulator init + q/out block traffic — not per
+    program launch), so the one-bank structure stays.
 """
 
 from __future__ import annotations
