@@ -77,6 +77,9 @@ class AttentionConfig:
     wW: int = 3
     add_sta: bool = True
     method: str = "topcdf"
+    # framework extension (not in the reference YAMLs, default off):
+    # one adaptive mask per step shared across layers
+    shared_mask: bool = False
 
 
 @dataclass(frozen=True)

@@ -61,6 +61,12 @@ class SparseParams(NamedTuple):
     sta: Array  # (s1, s1) bool sliding-tile block mask
     P: float  # top-CDF mass threshold
     max_density: Optional[float] = 0.75  # per-row kept-fraction ceiling
+    # shared-mask mode (framework extension, OFF by default): build the
+    # adaptive mask ONCE per step from block 0's q/k and reuse it in
+    # every layer — the reference rebuilds per layer per CFG branch
+    # (~60 ms x 64 calls of mask+list work per 10s NFE pair)
+    shared_mask: bool = False
+    shared: Optional[object] = None  # ops.nabla.NablaMask once built
 
 
 def _mod_params(mod_vec: Array, n: int):
@@ -85,7 +91,8 @@ def _self_attention(p, x: Array, rope, num_heads: int, kv_mask, attn_impl: str,
         k = apply_rotary(k, cos, sin)
     if sparse is not None:
         out = nabla_attention(q, k, v, sparse.sta, thr=sparse.P,
-                              impl=attn_impl, max_density=sparse.max_density)
+                              impl=attn_impl, max_density=sparse.max_density,
+                              shared=sparse.shared)
     else:
         out = attention(q, k, v, kv_mask=kv_mask, impl=attn_impl)
     return linear(p["out_layer"], out.reshape(b, l, d))
@@ -216,6 +223,10 @@ def dit_visual_blocks(
     (~95% of DiT FLOPs; reference dit.py:176-178)."""
     num_heads = cfg.num_heads
 
+    if sparse is not None and sparse.shared_mask and sparse.shared is None:
+        sparse = sparse._replace(shared=_probe_shared_mask(
+            params, cfg, visual, time_embed, rope, sparse))
+
     def body(carry, block_params):
         out = visual_decoder_block(block_params, carry, text, time_embed, rope,
                                    text_mask, num_heads, attn_impl, sparse)
@@ -227,6 +238,34 @@ def dit_visual_blocks(
     visual, _ = jax.lax.scan(jax.checkpoint(body), visual,
                              params["visual_transformer_blocks"])
     return visual
+
+
+def _probe_shared_mask(params, cfg: DiTParams, visual, time_embed, rope,
+                       sparse: SparseParams):
+    """Shared-mask probe: replicate block 0's pre-attention transform
+    (AdaLN scale/shift -> Q/K projections -> QK-RMSNorm -> RoPE) and
+    build one NablaMask for the whole stack. Costs two extra (S, D) x
+    (D, D) matmuls per step (~10 ms at the 10s shape) and makes every
+    layer's mask identical to block 0's — a documented approximation
+    (enable via DenoiseSpec.nabla_shared_mask / attention.shared_mask).
+    """
+    from kandinsky5_tpu.ops.nabla import nabla_build_mask
+
+    p0 = jax.tree.map(lambda a: a[0], params["visual_transformer_blocks"])
+    mod = modulation(p0["visual_modulation"], time_embed)
+    shift_sa, scale_sa = _mod_params(mod, 9)[:2]
+    x = apply_scale_shift_norm(visual, scale_sa, shift_sa)
+    a = p0["self_attention"]
+    b, l, _ = x.shape
+    q = linear(a["to_query"], x).reshape(b, l, cfg.num_heads, -1)
+    k = linear(a["to_key"], x).reshape(b, l, cfg.num_heads, -1)
+    q = rms_norm(q, a["query_norm"]["weight"]).astype(x.dtype)
+    k = rms_norm(k, a["key_norm"]["weight"]).astype(x.dtype)
+    cos, sin = rope
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+    return nabla_build_mask(q, k, sparse.sta, thr=sparse.P,
+                            max_density=sparse.max_density)
 
 
 def dit_epilogue(params, cfg: DiTParams, visual: Array, time_embed: Array,

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -224,6 +224,37 @@ def masked_block_attention_xla(
     return out.astype(q.dtype)
 
 
+class NablaMask(NamedTuple):
+    """A built adaptive mask, reusable across attention calls (the
+    shared-mask extension: compute once per step, apply in every
+    layer — the reference rebuilds per layer per branch)."""
+
+    gmask: Array     # (B, H, s1//q_rows, s1) bool banked block mask
+    kv_inds: Array   # flex kv-list layout (sparse kernel input)
+    kv_nb: Array
+    q_rows: int
+
+
+def nabla_build_mask(q: Array, k: Array, sta: Array, thr: float = 0.9,
+                     q_rows: int = 8,
+                     max_density: Optional[float] = 0.75) -> NablaMask:
+    """Build the banked adaptive mask + kv lists from q, k."""
+    s1 = q.shape[1] // BLOCK
+    if s1 % max(q_rows, 1) != 0:
+        q_rows = 1
+    # bank-granular mask: 8x cheaper build, feeds the banked kernel.
+    # (128-token kv pages — adjacent-block union halving the DMA issue
+    # count — measured a WASH at realistic clustered densities: the
+    # pair-union's +8% density cancels the saved issues, 166 vs 169
+    # ms/layer at 12% STA density; the kernel keeps the exact 64-token
+    # flex granularity, with the paged path available via
+    # sparse_attention(kv_page_blocks=2) for coarser masks.)
+    gmask = nabla_block_mask(q, k, sta, thr=thr, method="bisect",
+                             q_rows=q_rows, max_density=max_density)
+    kv_inds, kv_nb = block_mask_to_kv_lists(gmask)
+    return NablaMask(gmask, kv_inds, kv_nb, q_rows)
+
+
 def nabla_attention(
     q: Array,
     k: Array,
@@ -233,13 +264,16 @@ def nabla_attention(
     impl: str = "auto",
     q_rows: int = 8,
     max_density: Optional[float] = 0.75,
+    shared: Optional[NablaMask] = None,
 ) -> Array:
     """Full NABLA path: adaptive mask + block-sparse attention.
 
     q, k, v: (B, S, H, D) in fractal token order. ``q_rows`` > 1 enables
     the banked union kernel (see module docstring). ``max_density`` caps
     the kept fraction per row (see nabla_block_mask) — bounds worst-case
-    sparse cost below dense flash; None disables.
+    sparse cost below dense flash; None disables. ``shared`` supplies a
+    precomputed NablaMask (shared-mask mode) instead of building one
+    from this call's q, k.
     """
     from kandinsky5_tpu.ops.sparse_pallas import (
         sparse_attention,
@@ -248,26 +282,11 @@ def nabla_attention(
 
     use_sparse = impl == "sparse" or (impl == "auto" and sparse_supported(q))
     if not use_sparse:
-        mask = nabla_block_mask(q, k, sta, thr=thr, method="sort")
+        if shared is not None:
+            mask = jnp.repeat(shared.gmask, shared.q_rows, axis=2)
+        else:
+            mask = nabla_block_mask(q, k, sta, thr=thr, method="sort")
         return masked_block_attention_xla(q, k, v, mask)
-    s1 = q.shape[1] // BLOCK
-    if s1 % max(q_rows, 1) != 0:
-        q_rows = 1
-    # bank-granular mask: 8x cheaper build, feeds the banked kernel
-    gmask = nabla_block_mask(q, k, sta, thr=thr, method="bisect",
-                             q_rows=q_rows, max_density=max_density)
-    # 128-token kv pages (adjacent-block union, a strict superset of the
-    # mask) halve the DMA issue count — measured a WASH at realistic
-    # clustered densities (the pair-union's +8% density cancels the
-    # saved issues: 166 vs 169 ms/layer at 12% STA density), so the
-    # default stays at the exact 64-token flex granularity; the paged
-    # path remains available for workloads with coarser masks.
-    kv_page_blocks = 1
-    if kv_page_blocks == 2:
-        b, h, rows, _ = gmask.shape
-        pmask = gmask.reshape(b, h, rows, s1 // 2, 2).any(axis=-1)
-    else:
-        pmask = gmask
-    kv_inds, kv_nb = block_mask_to_kv_lists(pmask)
-    return sparse_attention(q, k, v, kv_inds, kv_nb, q_rows=q_rows,
-                            kv_page_blocks=kv_page_blocks)
+    m = shared if shared is not None else nabla_build_mask(
+        q, k, sta, thr=thr, q_rows=q_rows, max_density=max_density)
+    return sparse_attention(q, k, v, m.kv_inds, m.kv_nb, q_rows=m.q_rows)

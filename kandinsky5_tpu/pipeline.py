@@ -88,6 +88,7 @@ class Kandinsky5T2VPipeline:
             nabla_wT=m.attention.wT,
             nabla_wH=m.attention.wH,
             nabla_wW=m.attention.wW,
+            nabla_shared_mask=getattr(m.attention, "shared_mask", False),
             sequential_cfg=sequential_cfg,
         )
 

@@ -104,6 +104,9 @@ class DenoiseSpec:
     # worst-case bound for the sparse path (ops/nabla.nabla_block_mask);
     # inert at the released checkpoints' ~5-15% real densities
     nabla_max_density: Optional[float] = 0.75
+    # framework extension (default OFF): build the adaptive mask once
+    # per step from block 0 and reuse across all layers
+    nabla_shared_mask: bool = False
     attn_impl: str = "auto"
     # run the CFG pair as two sequential forwards instead of one batch-2
     # call (the reference's scheme, generation_utils.py:53-73) — halves
@@ -126,7 +129,8 @@ def _build_sparse(spec: DenoiseSpec, grid) -> Optional[SparseParams]:
         sta_mask(t, h // 8, w // 8, spec.nabla_wT, spec.nabla_wH, spec.nabla_wW)
     )
     return SparseParams(sta=jnp.asarray(sta), P=spec.nabla_P,
-                        max_density=spec.nabla_max_density)
+                        max_density=spec.nabla_max_density,
+                        shared_mask=spec.nabla_shared_mask)
 
 
 def denoise_residual0(spec: DenoiseSpec, noise_shape) -> Tuple[int, int]:

@@ -182,3 +182,62 @@ def test_nabla_density_cap():
     counts = np.asarray(capped.sum(axis=-1))
     assert counts.max() <= int(s1 * 0.5) + int(np.asarray(sta).sum(1).max())
     assert capped.any()
+
+
+def test_nabla_shared_mask_modes():
+    """Shared-mask mode: a precomputed NablaMask reused across calls
+    equals building it per call from the same q/k, on both execution
+    paths; the full denoise runs finite with the flag on."""
+    import jax
+    import jax.numpy as jnp
+
+    from kandinsky5_tpu.ops.nabla import (
+        nabla_attention,
+        nabla_build_mask,
+        sta_mask,
+    )
+    from kandinsky5_tpu.ops.sparse_pallas import sparse_attention
+
+    key = jax.random.PRNGKey(9)
+    s1 = 16
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (1, s1 * 64, 2, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (1, s1 * 64, 2, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (1, s1 * 64, 2, 64), jnp.float32)
+    sta = jnp.asarray(sta_mask(4, 2, 2, 3, 3, 3))
+
+    m = nabla_build_mask(q, k, sta, thr=0.5)
+    # sparse kernel path (interpret): shared lists == direct lists
+    out_shared = sparse_attention(q, k, v, m.kv_inds, m.kv_nb,
+                                  q_rows=m.q_rows, interpret=True)
+    out_direct = nabla_attention(q, k, v, sta, thr=0.5, shared=m,
+                                 impl="dense")
+    # the XLA fallback with the shared banked mask must agree with the
+    # kernel under the identical mask
+    np.testing.assert_allclose(np.asarray(out_shared),
+                               np.asarray(out_direct), rtol=2e-4, atol=2e-4)
+
+    # full denoise with the flag on (CPU fallback path)
+    from kandinsky5_tpu.config import DiTParams
+    from kandinsky5_tpu.models.dit import init_dit_params
+    from kandinsky5_tpu.sampling import DenoiseSpec, generate_latents
+
+    cfg = DiTParams(
+        in_visual_dim=4, out_visual_dim=4, in_text_dim=32, in_text_dim2=16,
+        time_dim=32, patch_size=(1, 2, 2), model_dim=128, ff_dim=256,
+        num_text_blocks=1, num_visual_blocks=2, axes_dims=(8, 4, 4),
+        visual_cond=False,
+    )
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    spec = DenoiseSpec(
+        dit_params=cfg, num_steps=2, guidance_weight=5.0,
+        scheduler_scale=5.0, scale_factor=(1.0, 2.0, 2.0),
+        attention_type="nabla", nabla_shared_mask=True, attn_impl="dense")
+    rng = np.random.RandomState(0)
+    cond = dict(
+        text_embeds=jnp.asarray(rng.randn(1, 8, cfg.in_text_dim), jnp.float32),
+        pooled_embed=jnp.asarray(rng.randn(1, cfg.in_text_dim2), jnp.float32),
+        mask=jnp.ones((1, 8), bool))
+    out = generate_latents(params, spec, (1, 4, 16, 16, 4), cond, cond,
+                           seed=1)
+    assert np.isfinite(np.asarray(out)).all()
