@@ -111,6 +111,57 @@ def train_step(
     return TrainState(new_params, new_opt, state.step + 1), loss
 
 
+def shard_train_state(state: TrainState, mesh) -> TrainState:
+    """ZeRO-1-style placement of the optimizer state over the mesh.
+
+    Adam's m/v moments are param-shaped fp32 — 2x the model again. They
+    shard (a) exactly like their parameter (the TP plan), and (b) over
+    the ``dp`` axis along the leading stacked-block dimension where it
+    divides — so a 2B-param run stores moments at 1/(dp) per device
+    instead of replicating 16 GB everywhere. XLA reshards around the
+    optax update automatically (GSPMD), trading a dp all-gather per
+    step for the memory.
+
+    Params themselves keep their inference TP sharding
+    (parallel.sharding.shard_dit_params).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kandinsky5_tpu.parallel.sharding import dit_param_specs
+
+    dp = mesh.shape.get("dp", 1)
+    specs = dit_param_specs(mesh)
+    by_shape = {}
+    for pleaf, sleaf in zip(jax.tree.leaves(state.params),
+                            jax.tree.leaves(specs,
+                                            is_leaf=lambda x: isinstance(
+                                                x, jax.sharding.PartitionSpec))):
+        prev = by_shape.get(pleaf.shape)
+        if prev is not None and prev != sleaf:
+            by_shape[pleaf.shape] = P()  # ambiguous -> replicate (safe)
+        else:
+            by_shape[pleaf.shape] = sleaf
+
+    def moment_spec(shape):
+        spec = by_shape.get(shape, P())
+        parts = list(spec) + [None] * (len(shape) - len(spec))
+        for ax, p in enumerate(parts):
+            if p is None and shape[ax] % dp == 0 and shape[ax] >= dp > 1:
+                parts[ax] = "dp"
+                break
+        return P(*parts)
+
+    def place(leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return leaf
+        return jax.device_put(
+            leaf, NamedSharding(mesh, moment_spec(leaf.shape)))
+
+    return TrainState(params=state.params,
+                      opt_state=jax.tree.map(place, state.opt_state),
+                      step=state.step)
+
+
 def save_checkpoint(params: dict, path: str) -> None:
     """Export to the reference torch-layout safetensors (round-trips
     through checkpoint.dit_params_to_state_dict)."""
