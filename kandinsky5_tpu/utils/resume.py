@@ -19,7 +19,6 @@ trajectory is bit-identical to the single-scan :func:`sampling.denoise`
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 from typing import Optional
 
@@ -41,12 +40,13 @@ import jax
 Array = jax.Array
 
 
-def _fingerprint(spec: DenoiseSpec, shape, seed: int, cond: dict) -> str:
+def _fingerprint(spec: DenoiseSpec, shape, seed: int, cond: dict,
+                 uncond: Optional[dict] = None) -> str:
     h = hashlib.sha256()
     h.update(repr(spec).encode())
     h.update(repr(tuple(shape)).encode())
     h.update(str(seed).encode())
-    for d in (cond,):
+    for d in (cond, uncond or {}):
         for k in sorted(d):
             h.update(np.asarray(d[k], np.float32).tobytes()[:4096])
     return h.hexdigest()[:32]
@@ -103,7 +103,7 @@ def resumable_generate(
     file then holds everything needed to resume.
     """
     cfg = spec.dit_params
-    fp = _fingerprint(spec, shape, seed, cond)
+    fp = _fingerprint(spec, shape, seed, cond, uncond)
 
     ts = timestep_grid(spec.num_steps, spec.scheduler_scale)
     if magcache is not None and len(magcache.mag_ratios) > 0:

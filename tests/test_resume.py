@@ -71,7 +71,7 @@ def test_interrupted_run_resumes(tmp_path):
                              checkpoint_path=path, magcache=mag, chunk=2,
                              _stop_after_chunks=1)
     assert out is None
-    st = load_state(path, fingerprint=_fp(spec, shape, 3, cond))
+    st = load_state(path, fingerprint=_fp(spec, shape, 3, cond, uncond))
     assert st is not None and st[0] == 2
     # relaunch: resumes at step 2 and completes
     out = resumable_generate(params, spec, shape, cond, uncond, seed=3,
@@ -86,10 +86,11 @@ def test_fingerprint_mismatch_restarts(tmp_path):
     resumable_generate(params, spec, shape, cond, uncond, seed=3,
                        checkpoint_path=path, chunk=2, _stop_after_chunks=1)
     # a different seed must NOT resume from this state
-    assert load_state(path, fingerprint=_fp(spec, shape, 4, cond)) is None
+    assert load_state(path,
+                      fingerprint=_fp(spec, shape, 4, cond, uncond)) is None
 
 
-def _fp(spec, shape, seed, cond):
+def _fp(spec, shape, seed, cond, uncond=None):
     from kandinsky5_tpu.utils.resume import _fingerprint
 
-    return _fingerprint(spec, shape, seed, cond)
+    return _fingerprint(spec, shape, seed, cond, uncond)
