@@ -145,24 +145,46 @@ class LatentShardLoader:
         return out
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
-        """Yield device-placed batches for one epoch, prefetched."""
+        """Yield device-placed batches for one epoch, prefetched.
+
+        A producer-side exception (corrupt shard, device OOM) re-raises
+        in the consumer; abandoning the generator mid-epoch unblocks
+        and stops the producer thread (no leaked device batches).
+        """
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def producer():
             try:
                 for hb in self._iter_host_batches(epoch):
-                    q.put(self._place(hb))
-            finally:
+                    item = self._place(hb)
+                    while not abandoned.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001  surface to consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            abandoned.set()
+            while not q.empty():  # free any device-resident batches
+                q.get_nowait()
 
     def __iter__(self):
         return self.epoch(0)

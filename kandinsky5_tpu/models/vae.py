@@ -120,7 +120,9 @@ def _gn_fold(p, x: Array, groups: int = 32,
     g2 = s2.reshape(b, groups, cg).sum(-1, keepdims=True)
     cnt = float(n * cg)
     mean = g1 / cnt
-    var = g2 / cnt - jnp.square(mean)
+    # E[x^2]-mean^2 can land slightly negative from fp32 accumulation
+    # error on near-constant groups with large mean; clamp before rsqrt
+    var = jnp.maximum(g2 / cnt - jnp.square(mean), 0.0)
     rstd = jax.lax.rsqrt(var + eps)
     wgt = p["weight"].astype(jnp.float32).reshape(groups, cg)
     bias = p["bias"].astype(jnp.float32).reshape(groups, cg)

@@ -275,18 +275,25 @@ def get_T2V_pipeline(
         )
 
         if jax.process_count() > 1:
-            # multi-host fleet: tp stays on each host's ICI, the hosts
-            # form a dp axis over DCN (CFG pair / batch sharding) — the
-            # growth path past the reference's single-node 4-GPU cap
-            mesh = make_hybrid_mesh(tp=tp)
+            # multi-host fleet: tp stays on each host's ICI (spare
+            # per-host chips become in-slice dp), the hosts form a dp
+            # axis over DCN (CFG pair / batch sharding) — the growth
+            # path past the reference's single-node 4-GPU cap
+            per_host = jax.local_device_count()
+            assert per_host % tp == 0, (
+                f"tp={tp} must divide the {per_host} local devices")
+            mesh = make_hybrid_mesh(tp=tp, dp_ici=per_host // tp)
+            # the VAE's dp-batched tile decode stages host-local arrays,
+            # so its mesh must span only THIS process's devices
+            vae_devices = jax.local_devices()
         else:
             mesh = make_mesh(n_devices=tp, dp=1)
+            vae_devices = list(mesh.devices.flat)
         dit_params = shard_dit_params(dit_params, mesh)
-        # the VAE decodes temporal tiles as a dp-sharded batch over the
-        # same devices (models/vae.py:_temporal_tiled_decode)
-        n_local = int(np.prod(list(mesh.shape.values())))
-        vae.mesh = make_mesh(n_devices=n_local, dp=n_local,
-                             devices=list(mesh.devices.flat))
+        # the VAE decodes temporal tiles as a dp-sharded batch
+        # (models/vae.py:_temporal_tiled_decode)
+        vae.mesh = make_mesh(n_devices=len(vae_devices),
+                             dp=len(vae_devices), devices=vae_devices)
 
     return Kandinsky5T2VPipeline(
         dit_params=dit_params, conf=conf, text_embedder=text_embedder,

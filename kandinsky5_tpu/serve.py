@@ -68,8 +68,22 @@ class Job:
         return d
 
     def batch_key(self):
-        """Jobs sharing this key can denoise as one batch."""
+        """Jobs sharing this key can denoise as one batch. Explicitly
+        seeded jobs never batch: the batched noise draw is slot-
+        dependent, which would silently break seeded reproducibility."""
+        if self.seed is not None:
+            return ("seeded", self.job_id)
         return (self.time_length, self.width, self.height, self.num_steps)
+
+    def request_key(self) -> str:
+        """Deterministic identity of the REQUEST (not the submission):
+        keys the resumable-denoise state file so a re-submitted job
+        after a host restart finds its half-finished state."""
+        import hashlib
+
+        payload = (self.prompt, self.time_length, self.width, self.height,
+                   self.seed, self.num_steps)
+        return hashlib.sha1(repr(payload).encode()).hexdigest()[:16]
 
 
 class GenerationServer:
@@ -145,7 +159,7 @@ class GenerationServer:
                          for j in batch]
                 lead = batch[0]
                 ckpt = (os.path.join(self.checkpoint_dir,
-                                     f"{lead.job_id}.npz")
+                                     f"{lead.request_key()}.npz")
                         if self.checkpoint_dir and len(batch) == 1 else None)
                 self.pipeline(
                     [j.prompt for j in batch],
@@ -164,6 +178,7 @@ class GenerationServer:
                     self.metrics["batches"] += 1
                     if len(batch) > 1:
                         self.metrics["batched_jobs"] += len(batch)
+                self._evict_old_jobs()
             except Exception as e:  # noqa: BLE001  one bad job != dead server
                 for j in batch:
                     j.state = "error"
@@ -171,6 +186,20 @@ class GenerationServer:
                     j.finished_at = time.time()
                 with self._lock:
                     self.metrics["jobs_failed"] += len(batch)
+
+    MAX_TERMINAL_JOBS = 1000
+
+    def _evict_old_jobs(self):
+        """Bound memory in a long-lived daemon: keep only the newest
+        terminal (done/error) job records."""
+        with self._lock:
+            done = [j for j in self.jobs.values()
+                    if j.state in ("done", "error")]
+            if len(done) <= self.MAX_TERMINAL_JOBS:
+                return
+            done.sort(key=lambda j: j.finished_at)
+            for j in done[:-self.MAX_TERMINAL_JOBS]:
+                self.jobs.pop(j.job_id, None)
 
     # ------------------------------------------------------------------
     def start(self, host: str = "0.0.0.0", port: int = 8700):

@@ -78,7 +78,7 @@ def test_submit_status_result(server):
 
 def test_compatible_jobs_batch_together(server):
     srv, pipe, port = server
-    ids = [_req(port, "/generate", {"prompt": f"p{i}", "seed": 1})["job_id"]
+    ids = [_req(port, "/generate", {"prompt": f"p{i}"})["job_id"]
            for i in range(3)]
     for j in ids:
         _wait_done(port, j)
@@ -87,6 +87,16 @@ def test_compatible_jobs_batch_together(server):
     assert any(len(c) > 1 for c in pipe.calls), pipe.calls
     m = _req(port, "/metrics")
     assert m["jobs_done"] == 3
+
+
+def test_seeded_jobs_never_batch(server):
+    srv, pipe, port = server
+    ids = [_req(port, "/generate", {"prompt": f"s{i}", "seed": 1})["job_id"]
+           for i in range(3)]
+    for j in ids:
+        _wait_done(port, j)
+    # seeded reproducibility: every seeded job denoises alone
+    assert all(len(c) == 1 for c in pipe.calls), pipe.calls
 
 
 def test_mismatched_shapes_do_not_batch(server):
