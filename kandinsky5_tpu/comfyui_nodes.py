@@ -11,7 +11,6 @@ The module imports without a ComfyUI host installed.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

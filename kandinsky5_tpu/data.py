@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 

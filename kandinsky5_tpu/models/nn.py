@@ -14,7 +14,7 @@ Mixed-precision policy (matches the reference's autocast placement):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

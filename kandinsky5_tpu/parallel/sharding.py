@@ -21,7 +21,6 @@ parallelize.py:39-56).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -31,8 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kandinsky5_tpu.ops.attention import dense_attention
-
 Array = jax.Array
 
 

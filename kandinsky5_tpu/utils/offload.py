@@ -11,7 +11,6 @@ chip must hold the 7B text encoder, the 2B DiT and the VAE.
 from __future__ import annotations
 
 import gc
-from typing import Optional
 
 import jax
 import numpy as np
