@@ -172,3 +172,34 @@ def save_checkpoint(params: dict, path: str) -> None:
 
     sd = dit_params_to_state_dict(params)
     save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+
+
+def save_train_state(state: TrainState, ckpt_dir: str, step: int) -> None:
+    """Orbax checkpoint of the FULL training state (params + adam
+    moments + step), preserving shardings — restartable mid-run on the
+    same mesh topology. Complements :func:`save_checkpoint`, which
+    exports inference weights in the reference's safetensors layout."""
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state._asdict()))
+        mgr.wait_until_finished()
+
+
+def load_train_state(ckpt_dir: str, state_like: TrainState,
+                     step=None) -> TrainState:
+    """Restore a :func:`save_train_state` checkpoint onto the shardings
+    of ``state_like`` (an initialized-and-sharded TrainState of the same
+    architecture); ``step=None`` loads the latest."""
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        target = jax.tree.map(
+            lambda x: (ocp.utils.to_shape_dtype_struct(x)
+                       if hasattr(x, "shape") else x),
+            state_like._asdict())
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(target))
+    return TrainState(**restored)
