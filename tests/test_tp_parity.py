@@ -120,3 +120,24 @@ def test_hybrid_mesh_dp_over_hosts_matches_single():
     sharded = shard_dit_params(params, mesh)
     out = _run(cfg, sharded, noise, cond, uncond, mesh=mesh)
     np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-5)
+
+
+def test_hybrid_mesh_with_in_slice_dp():
+    """dp_ici > 1 (spare per-host chips become in-slice dp, as the
+    pipeline factory now sizes it): 2 hosts x (dp_ici=2 x tp=2) ->
+    (dp=4, tp=2); numerics match unsharded."""
+    from kandinsky5_tpu.parallel.sharding import make_hybrid_mesh
+
+    cfg, params, noise, cond, uncond = _setup()
+    base = _run(cfg, params, noise, cond, uncond, mesh=None)
+
+    host_of = lambda d: d.id // 4  # noqa: E731
+    mesh = make_hybrid_mesh(tp=2, dp_ici=2, host_index_fn=host_of)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    arr = np.asarray(mesh.devices, dtype=object)
+    for row in arr:  # tp rows still never cross a host
+        assert len({host_of(d) for d in row}) == 1
+
+    sharded = shard_dit_params(params, mesh)
+    out = _run(cfg, sharded, noise, cond, uncond, mesh=mesh)
+    np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-5)
