@@ -92,3 +92,17 @@ def test_pipeline_video_mode(tiny_pipe, tmp_path, monkeypatch):
 
 def test_pipeline_expand_prompt(tiny_pipe):
     assert tiny_pipe.expand_prompt("hi").endswith("(expanded)")
+
+
+def test_pipeline_checkpoint_path_resumable(tiny_pipe, tmp_path, monkeypatch):
+    """checkpoint_path= routes through the resumable chunked denoise and
+    produces the same frames as the plain path (same seed)."""
+    monkeypatch.setitem(RESOLUTIONS, 512, [(64, 64)])
+    plain = tiny_pipe("a video", time_length=0, width=64, height=64,
+                      seed=11, progress=False, expand_prompts=False)
+    ckpt = str(tmp_path / "gen_state.npz")
+    resumed = tiny_pipe("a video", time_length=0, width=64, height=64,
+                        seed=11, progress=False, expand_prompts=False,
+                        checkpoint_path=ckpt)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(resumed))
+    assert not os.path.exists(ckpt)  # cleaned up on completion
