@@ -21,7 +21,11 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
-    p.add_argument("--csv", default="benchmark/moviegen_bench.csv")
+    p.add_argument(
+        "--csv", required=True,
+        help="path to the MovieGen prompt CSV (the reference ships it as "
+             "benchmark/moviegen_bench.csv in its repo; it is prompt DATA, "
+             "deliberately not vendored here)")
     p.add_argument("--out", default="./bench_out")
     p.add_argument("--column", default="expanded_prompt",
                    choices=["prompt", "expanded_prompt", "ru_prompt",

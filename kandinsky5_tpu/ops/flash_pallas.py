@@ -85,7 +85,8 @@ def _apply_masks(s, mask_ref, qid_ref, kid_ref, masked, ids_masked):
     return s
 
 
-def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int):
+def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int, dt: int,
+                  norm: str):
     if masked:
         q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref = refs
     else:
@@ -137,7 +138,20 @@ def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int):
 
     @pl.when(j == num_k - 1)
     def _finalize():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        if norm == "ext":
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        else:
+            # normalize INSIDE the kernel on the fp32 accumulator (lane
+            # ``dt`` carries the softmax row sum via V's ones column) and
+            # emit bf16: out-traffic drops 4x (fp32 128-lane -> bf16
+            # dt-lane) and the external divide pass disappears.
+            for h in range(hp):
+                acc = acc_ref[h]
+                n = jnp.maximum(acc[:, dt:dt + 1], 1e-30)
+                if norm == "in":
+                    o_ref[h] = (acc[:, :dt] / n).astype(o_ref.dtype)
+                else:  # "in_wide": full-lane store, sliced outside
+                    o_ref[h] = (acc / n).astype(o_ref.dtype)
 
 
 def _kernel_online(live_ref, q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref,
@@ -189,28 +203,38 @@ def _kernel_online(live_ref, q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "masked", "block_q", "block_k", "interpret"))
+    "masked", "block_q", "block_k", "norm", "hp_opt", "interpret"))
 def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
                       masked: bool, block_q: int, block_k: int,
+                      norm: str = "in", hp_opt: Optional[int] = None,
                       interpret: bool = False) -> Array:
     """(BH, L, 128) augmented fixed-shift core (see _kernel_fixed).
 
     ``k`` arrives TRANSPOSED as (BH, 128, Lk) so each kv block loads in
     the MXU's native rhs (K, N) layout.
+
+    ``norm``: "in" (default) normalizes inside the kernel and emits a
+    bf16 (bh, lq, d_true) output; "in_wide" normalizes in-kernel but
+    stores all 128 lanes; "ext" emits the raw fp32 accumulator (128
+    lanes) for an external divide — the round-2 behavior, kept for A/B.
     """
     bh, lq, d = q.shape
-    assert d == 128 and k.shape[1] == 128 and v.shape[2] == 128
+    assert d % 128 == 0 and k.shape[1] == d and v.shape[2] == d
+    dt = d - 64  # true head dim; lane dt holds the softmax normalizer
     lk = k.shape[2]
     num_k = lk // block_k
     h = bh // mask.shape[0]
-    # two heads per program when they tile evenly AND the pair never
+    # several heads per program when they tile evenly AND the group never
     # straddles a batch boundary (heads are bh-major: batch b owns rows
     # [b*h, (b+1)*h))
-    hp = 2 if (bh % 2 == 0 and h % 2 == 0
-               and 2 * block_q * block_k * 4 < 10 * 2**20) else 1
+    if hp_opt is not None:
+        hp = hp_opt if (bh % hp_opt == 0 and h % hp_opt == 0) else 1
+    else:
+        hp = 2 if (bh % 2 == 0 and h % 2 == 0
+                   and 2 * block_q * block_k * 4 < 10 * 2**20) else 1
     grid = (bh // hp, lq // block_q, num_k)
     kernel = functools.partial(_kernel_fixed, num_k=num_k, masked=masked,
-                               hp=hp)
+                               hp=hp, dt=dt, norm=norm)
     flops = 4 * lq * lk * d * bh
     in_specs = [
         pl.BlockSpec((hp, block_q, d), lambda b, i, j: (b, i, 0),
@@ -230,15 +254,24 @@ def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
                          lambda b, i, j, hp=hp, h=h: ((b * hp) // h, 0, j),
                          memory_space=pltpu.VMEM))
         args.append(mask)
+    if norm == "in":
+        out_shape = jax.ShapeDtypeStruct((bh, lq, dt), q.dtype)
+        out_block = (hp, block_q, dt)
+    elif norm == "in_wide":
+        out_shape = jax.ShapeDtypeStruct((bh, lq, d), q.dtype)
+        out_block = (hp, block_q, d)
+    else:
+        # f32 out: the normalizer lane must not round to bf16 before the
+        # external epilogue divide (0.4% per-row scale error otherwise)
+        out_shape = jax.ShapeDtypeStruct((bh, lq, d), jnp.float32)
+        out_block = (hp, block_q, d)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((hp, block_q, d), lambda b, i, j: (b, i, 0),
+        out_specs=pl.BlockSpec(out_block, lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        # f32 out: the normalizer lane must not round to bf16 before the
-        # epilogue divide (0.4% per-row scale error otherwise)
-        out_shape=jax.ShapeDtypeStruct((bh, lq, d), jnp.float32),
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((hp, block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             # bh/q-block dims are independent; kv is the softmax reduction
@@ -383,6 +416,8 @@ def flash_attention(
     block_q: int = BLOCK_Q,
     block_k: int = BLOCK_K,
     fixed_shift: bool = True,
+    norm: str = "in",
+    hp_opt: Optional[int] = None,
     interpret: bool = False,
 ) -> Array:
     """(B, L, H, D) flash attention.
@@ -436,11 +471,17 @@ def flash_attention(
         shift = score_bound(qf, kf)
         qa, ka, va = _augment(qf, kf, vf, shift, d)
         raw = _flash_fixed_bhld(qa, ka, va, mask, masked, block_q, block_k,
+                                norm=norm, hp_opt=hp_opt,
                                 interpret=interpret)
-        raw = raw[:, :lq_orig]
-        # lane d holds the softmax normalizer (ones column of V)
-        out = (raw[..., :d]
-               / jnp.maximum(raw[..., d:d + 1], 1e-30)).astype(q.dtype)
+        if norm == "in":
+            out = raw[:, :lq_orig]  # already normalized bf16 (bh, lq, d)
+        elif norm == "in_wide":
+            out = raw[:, :lq_orig, :d]
+        else:
+            raw = raw[:, :lq_orig]
+            # lane d holds the softmax normalizer (ones column of V)
+            out = (raw[..., :d]
+                   / jnp.maximum(raw[..., d:d + 1], 1e-30)).astype(q.dtype)
         return out.reshape(b, h, lq_orig, d).transpose(0, 2, 1, 3)
 
     ids_masked = q_ids is not None

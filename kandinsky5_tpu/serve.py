@@ -200,6 +200,13 @@ class GenerationServer:
             done.sort(key=lambda j: j.finished_at)
             for j in done[:-self.MAX_TERMINAL_JOBS]:
                 self.jobs.pop(j.job_id, None)
+                # the record bound alone leaks mp4s in a long-lived
+                # daemon: evict the result file with its record
+                if j.result_path:
+                    try:
+                        os.remove(j.result_path)
+                    except OSError:
+                        pass
 
     # ------------------------------------------------------------------
     def start(self, host: str = "0.0.0.0", port: int = 8700):

@@ -150,9 +150,16 @@ def qwen_hidden_states(params, cfg: QwenTextConfig, input_ids: Array,
     cos, sin = qwen_rope(positions, cfg.head_dim, cfg.rope_theta)
     causal = jnp.tril(jnp.ones((l, l), bool))
     mask = causal[None] & attention_mask[:, None, :]
-    for i in range(cfg.num_hidden_layers):
-        p_i = jax.tree.map(lambda a: a[i], params["layers"])
-        x, _ = _layer(p_i, x, cos, sin, cfg, mask)
+
+    # scan over the stacked layer params (one traced layer instead of 28
+    # unrolled copies): round-2 measured a 404 s cache-miss compile for
+    # the unrolled encoder through the remote compile service; the decode
+    # loop below already scans, the encoder now matches.
+    def scan_layer(xc, p_i):
+        xc, _ = _layer(p_i, xc, cos, sin, cfg, mask)
+        return xc, None
+
+    x, _ = jax.lax.scan(scan_layer, x, params["layers"])
     return qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
 
 
@@ -235,17 +242,21 @@ def _prefill(params, cfg, ids, max_len):
     mask0 = jnp.tril(jnp.ones((l, l), bool))[None]
     # pad mask to the cache width
     mask = jnp.pad(mask0, ((0, 0), (0, 0), (0, max_len - l)))
-    caches = []
-    for i in range(cfg.num_hidden_layers):
-        p_i = jax.tree.map(lambda a: a[i], params["layers"])
+
+    # scan (not unroll) the 28 layers; caches come out stacked
+    # (L, 2, B, max_len, hkv, d) — exactly the decode loop's layout
+    def scan_layer(xc, p_i):
         cache0 = jnp.zeros(
-            (2, b, max_len, cfg.num_key_value_heads, cfg.head_dim), x.dtype)
-        x, cache = _layer(p_i, x, cos, sin, cfg, mask, cache0, 0)
-        caches.append(cache)
+            (2, b, max_len, cfg.num_key_value_heads, cfg.head_dim),
+            xc.dtype)
+        xc, cache = _layer(p_i, xc, cos, sin, cfg, mask, cache0, 0)
+        return xc, cache
+
+    x, caches = jax.lax.scan(scan_layer, x, params["layers"])
     x = qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
     logits = jnp.dot(x[:, -1], params["lm_head"]["weight"],
                      preferred_element_type=jnp.float32)
-    return jnp.stack(caches), jnp.argmax(logits, axis=-1)
+    return caches, jnp.argmax(logits, axis=-1)
 
 
 _EOS_DEFAULT = (151645, 151643)  # <|im_end|>, <|endoftext|>

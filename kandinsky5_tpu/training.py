@@ -131,19 +131,10 @@ def shard_train_state(state: TrainState, mesh) -> TrainState:
 
     dp = mesh.shape.get("dp", 1)
     specs = dit_param_specs(mesh)
-    by_shape = {}
-    for pleaf, sleaf in zip(jax.tree.leaves(state.params),
-                            jax.tree.leaves(specs,
-                                            is_leaf=lambda x: isinstance(
-                                                x, jax.sharding.PartitionSpec))):
-        prev = by_shape.get(pleaf.shape)
-        if prev is not None and prev != sleaf:
-            by_shape[pleaf.shape] = P()  # ambiguous -> replicate (safe)
-        else:
-            by_shape[pleaf.shape] = sleaf
+    pstruct = jax.tree.structure(state.params)
+    spec_leaf = lambda x: isinstance(x, jax.sharding.PartitionSpec)  # noqa: E731
 
-    def moment_spec(shape):
-        spec = by_shape.get(shape, P())
+    def moment_spec(spec, shape):
         parts = list(spec) + [None] * (len(shape) - len(spec))
         for ax, p in enumerate(parts):
             if p is None and shape[ax] % dp == 0 and shape[ax] >= dp > 1:
@@ -151,14 +142,31 @@ def shard_train_state(state: TrainState, mesh) -> TrainState:
                 break
         return P(*parts)
 
-    def place(leaf):
+    def place(leaf, spec):
         if not hasattr(leaf, "shape") or leaf.ndim == 0:
             return leaf
         return jax.device_put(
-            leaf, NamedSharding(mesh, moment_spec(leaf.shape)))
+            leaf, NamedSharding(mesh, moment_spec(spec, leaf.shape)))
+
+    def walk(node):
+        # moments are param-structured subtrees of the optax state: key
+        # their specs by TREE POSITION, not by leaf shape — the four
+        # attention projections share (L, D, D) with different TP specs,
+        # and shape-keying replicated them (GSPMD then resharded every
+        # step)
+        if jax.tree.structure(node) == pstruct:
+            leaves, nstruct = jax.tree.flatten(node)
+            spec_leaves = jax.tree.leaves(specs, is_leaf=spec_leaf)
+            return jax.tree.unflatten(
+                nstruct, [place(l, s) for l, s in zip(leaves, spec_leaves)])
+        if isinstance(node, tuple):  # optax states are (Named)tuples
+            children = [walk(c) for c in node]
+            return (type(node)(*children) if hasattr(node, "_fields")
+                    else tuple(children))
+        return node
 
     return TrainState(params=state.params,
-                      opt_state=jax.tree.map(place, state.opt_state),
+                      opt_state=walk(state.opt_state),
                       step=state.step)
 
 

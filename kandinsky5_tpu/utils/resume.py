@@ -48,7 +48,13 @@ def _fingerprint(spec: DenoiseSpec, shape, seed: int, cond: dict,
     h.update(str(seed).encode())
     for d in (cond, uncond or {}):
         for k in sorted(d):
-            h.update(np.asarray(d[k], np.float32).tobytes()[:4096])
+            a = np.ascontiguousarray(np.asarray(d[k], np.float32)).ravel()
+            # strided sample across the WHOLE array (not just its head:
+            # two prompts sharing a template prefix must not collide),
+            # plus shape — bounded work for arbitrarily large embeddings
+            stride = max(1, a.size // 4096)
+            h.update(repr(np.asarray(d[k]).shape).encode())
+            h.update(a[::stride][:8192].tobytes())
     return h.hexdigest()[:32]
 
 
