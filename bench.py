@@ -125,6 +125,18 @@ def bench_denoise(quick, extra):
     params = fast_init_dit_params(jax.random.PRNGKey(0), cfg,
                                   dtype=jnp.bfloat16)
 
+    # multi-chip-ready: the day >1 device is visible, shard tp=N with
+    # the production plan (validated continuously on the virtual CPU
+    # mesh by tests/test_tp_parity.py and the driver dryrun)
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from kandinsky5_tpu.parallel.sharding import make_mesh, shard_dit_params
+
+        mesh = make_mesh(n_devices=n_dev, dp=1)
+        params = shard_dit_params(params, mesh)
+        print(f"# denoise: sharding tp={n_dev}", file=sys.stderr)
+
     # 5s distill config: 16 NFE, no CFG (guidance 1.0), 768x512
     # latent (31, 64, 96, 16) -> 47,616 visual tokens (BASELINE.md)
     chunk_steps = 2 if quick else 4
@@ -148,16 +160,22 @@ def bench_denoise(quick, extra):
     b_eff, seq_len = denoise_residual0(spec, noise.shape)
     res0 = jnp.zeros((b_eff, seq_len, cfg.model_dim), jnp.bfloat16)
 
+    from contextlib import nullcontext
+
+    from kandinsky5_tpu.parallel.sharding import sharding_ctx
+
     def run_denoise():
         # the TRUE num_steps trajectory integrated in chunked spans
         # (the tunneled bench chip kills single executions >~1 min;
         # denoise_span threads the exact scan carry across chunks)
         x, res = noise, res0
-        for c in range(n_chunks):
-            sl = slice(c * chunk_steps, (c + 1) * chunk_steps)
-            x, res = denoise_span(params, spec, x, res, times[sl], dts[sl],
-                                  te, pe, mask, te, pe, mask, skip[sl])
-            _sync_scalar(x)
+        with (sharding_ctx(mesh) if mesh is not None else nullcontext()):
+            for c in range(n_chunks):
+                sl = slice(c * chunk_steps, (c + 1) * chunk_steps)
+                x, res = denoise_span(params, spec, x, res, times[sl],
+                                      dts[sl], te, pe, mask, te, pe, mask,
+                                      skip[sl])
+                _sync_scalar(x)
         return x
 
     t0 = time.perf_counter()
@@ -252,6 +270,190 @@ def bench_nabla10s(extra):
     extra["10s_devices_measured"] = n_dev
 
 
+def bench_nabla10s_density(extra):
+    """10s NFE pair at REALISTIC mask densities (VERDICT round-2 item 3).
+
+    Random weights give uniform attention, so the adaptive mask sits at
+    its density ceiling — the sparse path's worst case. The released
+    checkpoints measure ~5-15% kept density (peaked attention). This
+    injects shared NablaMasks at controlled densities (banked STA union
+    + a contiguous temporal slab around the diagonal — the clustered
+    structure real masks have) and times the full 2-forward NFE pair
+    with the mask applied in every layer, plus one measured mask+list
+    build (the shared-mask mode's per-step cost). Emits a
+    density -> pair-seconds table the driver can read.
+    """
+    import time as _time
+
+    from kandinsky5_tpu.config import DiTParams
+    from kandinsky5_tpu.models.dit import (
+        SparseParams,
+        dit_forward,
+        fast_init_dit_params,
+    )
+    from kandinsky5_tpu.ops.nabla import (
+        NablaMask,
+        block_mask_to_kv_lists,
+        nabla_build_mask,
+        sta_mask,
+    )
+
+    cfg = DiTParams()
+    params = fast_init_dit_params(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    T, HL, WL = 61, 64, 96           # 10s latent grid
+    tb, hb, wb = 61, 4, 6            # (T, H/8, W/8) token-block grid
+    s1 = tb * hb * wb                # 1464 blocks
+    q_rows = 8
+    rows = s1 // q_rows
+    heads = cfg.num_heads
+
+    sta = np.asarray(sta_mask(tb, hb, wb))                 # (s1, s1)
+    sta_banked = sta.reshape(rows, q_rows, s1).any(axis=1)  # (rows, s1)
+
+    x = jnp.asarray(rng.randn(1, T, HL, WL, cfg.visual_embed_dim),
+                    jnp.bfloat16)
+    L = 256
+    te = jnp.asarray(rng.randn(1, L, cfg.in_text_dim), jnp.bfloat16)
+    pe = jnp.asarray(rng.randn(1, cfg.in_text_dim2), jnp.bfloat16)
+    mask = jnp.ones((1, L), bool)
+    t_arr = jnp.asarray([700.0], jnp.float32)
+
+    # one shared-mask build at the 10s shape (the per-step serial cost)
+    qs = jnp.asarray(rng.randn(1, s1 * 64, heads, cfg.head_dim) * 0.05,
+                     jnp.bfloat16)
+    m0 = nabla_build_mask(qs, qs, jnp.asarray(sta), q_rows=q_rows)
+    _sync_scalar(m0.kv_nb.astype(jnp.float32))
+    t0 = _time.perf_counter()
+    m0 = nabla_build_mask(qs, qs, jnp.asarray(sta), q_rows=q_rows)
+    _sync_scalar(m0.kv_nb.astype(jnp.float32))
+    t_build = _time.perf_counter() - t0
+    del m0, qs
+    gc.collect()
+
+    # block (t, h, w) row-major: a +-w-frame temporal slab is a
+    # contiguous run of (2w+1)*hb*wb columns — the clustered shape
+    # real adaptive masks have
+    blocks_per_frame = hb * wb
+    table = {}
+    for target in (0.05, 0.10, 0.15):
+        want = int(target * s1)
+        g = np.zeros((rows, s1), bool)
+        centers = (np.arange(rows) * q_rows + q_rows // 2)
+        for r in range(rows):
+            c = (centers[r] // blocks_per_frame) * blocks_per_frame
+            lo = max(0, min(c - want // 2, s1 - want))
+            g[r, lo:lo + want] = True
+        g |= sta_banked
+        density = float(g.mean())
+        gmask = jnp.asarray(np.broadcast_to(g, (1, heads, rows, s1)))
+        kv_inds, kv_nb = block_mask_to_kv_lists(gmask)
+        shared = NablaMask(gmask, kv_inds, kv_nb, q_rows)
+        sp = SparseParams(sta=jnp.asarray(sta), P=0.9, shared=shared)
+
+        def pair():
+            for _ in range(2):  # cond + uncond sequential forwards
+                v = dit_forward(params, cfg, x, te, pe, t_arr,
+                                text_mask=mask, attn_impl="auto", sparse=sp)
+                _sync_scalar(v)
+
+        t0 = _time.perf_counter()
+        pair()
+        compile_s = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        pair()
+        t_pair = _time.perf_counter() - t0 + t_build
+        table[f"{density:.3f}"] = round(t_pair, 2)
+        print(f"# 10s pair at {density * 100:.1f}% density: "
+              f"compile+first {compile_s:.1f}s, steady {t_pair:.2f}s "
+              f"(incl. {t_build:.2f}s shared mask build)", file=sys.stderr)
+        gc.collect()
+
+    extra["10s_density_pair_seconds"] = table
+    del params
+    gc.collect()
+
+
+def project_v5e8(extra):
+    """Per-stage v5e-8 projection from the single-chip measurements
+    (VERDICT round-2 item 5: replace the flat /8 with an auditable
+    model). Emitted per stage into BENCH_EXTRA under ``v5e8_*`` keys.
+
+    Model and assumptions (all visible below):
+      * DiT runs tp=8 (the parallel/sharding.py plan: column-parallel
+        QKV/MLP-in, row-parallel out/MLP-down, head-parallel attention).
+        Attention + linear FLOPs divide by 8 at the measured rates.
+      * Each visual block all-reduces three (S, 1792) bf16 activations
+        (self-attn out, cross-attn out, MLP down). Bidirectional-ring
+        all-reduce cost = 2(n-1)/n x bytes / ICI_BW, ICI_BW = 9e10 B/s
+        per chip (2 ICI links x 45 GB/s each way, v5e 2D torus — the
+        scaling-book number).
+      * Text: the Qwen decode is HBM-bandwidth-bound -> /8, plus a 25%
+        latency fudge for its 56 tiny per-token all-reduces; encode and
+        CLIP are too small to matter and are left at 1-chip cost.
+      * VAE: the dp=8 temporal-tile batch of the TILED path (already
+        implemented, models/vae.py:_temporal_tiled_decode) — 14 full
+        tiles over 8 chips -> 2 waves of the 4-frame tile cost. The
+        streaming path is faster on ONE chip but is serial in time, so
+        multi-chip projection uses the tiled path.
+    """
+    S, D, BLOCKS, HEADS, HD = 47616, 1792, 32, 28, 64
+    N = 8
+    ICI_BW = 9e10
+    ATT_RATE = 81.1e12      # measured flash kernel rate (tools/bench_flash3)
+    att_flops = BLOCKS * 4 * S * S * HD * HEADS
+    att_1chip = att_flops / ATT_RATE
+    nfe_1chip = extra.get("denoise_s_per_nfe")
+    if nfe_1chip is None:
+        return
+    lin_1chip = max(nfe_1chip - att_1chip, 0.0)
+    ar_bytes = S * D * 2
+    coll_per_nfe = BLOCKS * 3 * (2 * (N - 1) / N) * ar_bytes / ICI_BW
+    nfe_tp8 = att_1chip / N + lin_1chip / N + coll_per_nfe
+    denoise_tp8 = 16 * nfe_tp8
+
+    text_tp8 = (extra.get("text_expand_s", 0.0) / N * 1.25
+                + extra.get("text_encode_s", 0.0)
+                + extra.get("clip_s", 0.0))
+
+    vae_1chip = extra.get("vae_s", 0.0)
+    # 14 full temporal tiles (stride 2 over 31 latent frames) in 2 waves
+    # of 8, + the ragged boundary tile — ~2.2/14ths of the serial cost
+    vae_tp8 = vae_1chip * 2.2 / 14 if vae_1chip else 0.0
+
+    extra["v5e8_attention_s_per_nfe"] = round(att_1chip / N, 3)
+    extra["v5e8_linear_s_per_nfe"] = round(lin_1chip / N, 3)
+    extra["v5e8_collectives_s_per_nfe"] = round(coll_per_nfe, 3)
+    extra["v5e8_denoise_s"] = round(denoise_tp8, 2)
+    extra["v5e8_text_s"] = round(text_tp8, 2)
+    extra["v5e8_vae_s"] = round(vae_tp8, 2)
+    extra["v5e8_e2e_s"] = round(denoise_tp8 + text_tp8 + vae_tp8, 2)
+
+    # 10s SFT (100 NFE): take the best realistic-density pair if the
+    # density table ran, else the worst-case measured pair
+    table = extra.get("10s_density_pair_seconds")
+    pair = (min(table.values()) if table
+            else extra.get("10s_sft_nfe_pair_seconds"))
+    if pair:
+        S10 = 93696
+        att10_flops = BLOCKS * 4 * S10 * S10 * HD * HEADS
+        # sparse path: FLOPs scale with density; collectives with S
+        coll10 = BLOCKS * 3 * (2 * (N - 1) / N) * (S10 * D * 2) / ICI_BW
+        # both forwards of the pair shard over tp=8
+        pair_tp8 = pair / N + 2 * coll10
+        extra["v5e8_10s_pair_s"] = round(pair_tp8, 2)
+        extra["v5e8_10s_e2e_s"] = round(50 * pair_tp8 + text_tp8
+                                        + 2 * vae_tp8, 1)
+    print(f"# v5e-8 projection: e2e {extra.get('v5e8_e2e_s')}s "
+          f"(denoise {extra.get('v5e8_denoise_s')}s = 16 x "
+          f"[att {extra.get('v5e8_attention_s_per_nfe')} + lin "
+          f"{extra.get('v5e8_linear_s_per_nfe')} + coll "
+          f"{extra.get('v5e8_collectives_s_per_nfe')}], text "
+          f"{extra.get('v5e8_text_s')}s, vae {extra.get('v5e8_vae_s')}s); "
+          f"10s e2e {extra.get('v5e8_10s_e2e_s')}s", file=sys.stderr)
+
+
 def main():
     import kandinsky5_tpu  # noqa: F401  enables the persistent compile cache
 
@@ -285,9 +487,20 @@ def main():
             print(f"# nabla10s skipped: {type(e).__name__}: {e}"[:200],
                   file=sys.stderr)
             gc.collect()
+        try:
+            bench_nabla10s_density(extra)
+        except Exception as e:  # noqa: BLE001
+            print(f"# nabla10s density table skipped: "
+                  f"{type(e).__name__}: {e}"[:200], file=sys.stderr)
+            gc.collect()
 
     total = t_text + t_denoise + t_vae
     if not quick:
+        try:
+            project_v5e8(extra)
+        except Exception as e:  # noqa: BLE001
+            print(f"# v5e8 projection skipped: {type(e).__name__}: {e}"[:200],
+                  file=sys.stderr)
         try:
             with open("BENCH_EXTRA.json", "w") as f:
                 json.dump(extra, f, indent=1)

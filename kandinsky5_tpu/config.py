@@ -80,6 +80,14 @@ class AttentionConfig:
     # framework extension (not in the reference YAMLs, default off):
     # one adaptive mask per step shared across layers
     shared_mask: bool = False
+    # framework extensions: sparse-path tuning knobs (ops/nabla.py).
+    # q_rows=1 + threshold_method="sort" + max_density=null is the
+    # exact-reference parity mode; the defaults are the measured-fast
+    # TPU configuration (deviation quantified in
+    # tests/test_nabla_semantics.py)
+    q_rows: int = 8
+    max_density: Optional[float] = 0.75
+    threshold_method: str = "bisect"
 
 
 @dataclass(frozen=True)

@@ -61,6 +61,10 @@ class SparseParams(NamedTuple):
     sta: Array  # (s1, s1) bool sliding-tile block mask
     P: float  # top-CDF mass threshold
     max_density: Optional[float] = 0.75  # per-row kept-fraction ceiling
+    # bank size / threshold algorithm (ops/nabla.py); (1, "sort",
+    # max_density=None) is the exact-reference parity mode
+    q_rows: int = 8
+    method: str = "bisect"
     # shared-mask mode (framework extension, OFF by default): build the
     # adaptive mask ONCE per step from block 0's q/k and reuse it in
     # every layer — the reference rebuilds per layer per CFG branch
@@ -92,6 +96,7 @@ def _self_attention(p, x: Array, rope, num_heads: int, kv_mask, attn_impl: str,
     if sparse is not None:
         out = nabla_attention(q, k, v, sparse.sta, thr=sparse.P,
                               impl=attn_impl, max_density=sparse.max_density,
+                              q_rows=sparse.q_rows, method=sparse.method,
                               shared=sparse.shared)
     else:
         out = attention(q, k, v, kv_mask=kv_mask, impl=attn_impl)
@@ -265,7 +270,8 @@ def _probe_shared_mask(params, cfg: DiTParams, visual, time_embed, rope,
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
     return nabla_build_mask(q, k, sparse.sta, thr=sparse.P,
-                            max_density=sparse.max_density)
+                            max_density=sparse.max_density,
+                            q_rows=sparse.q_rows, method=sparse.method)
 
 
 def dit_epilogue(params, cfg: DiTParams, visual: Array, time_embed: Array,

@@ -407,14 +407,34 @@ class HunyuanVideoVAE:
     # Decode
     # ------------------------------------------------------------------
 
-    def decode(self, z: Array, opt_tiling: bool = True) -> Array:
-        """(B, T', H', W', 16) latents -> (B, T, H, W, 3) in [-1, 1]."""
+    def decode(self, z: Array, opt_tiling: bool = True,
+               mode: str = "tiled") -> Array:
+        """(B, T', H', W', 16) latents -> (B, T, H, W, 3) in [-1, 1].
+
+        ``mode``: "tiled" reproduces the reference's overlap-tile decode
+        bit-for-bit (vae.py:795-1204); "stream" decodes disjoint chunks
+        with carried causal state (models/vae_stream.py) — no overlap
+        recompute (2.26x fewer conv FLOPs at the 5s shape) and no blend
+        seams, at the cost of per-chunk (instead of per-tile) GroupNorm
+        statistics. Streaming requires the spatially-untiled regime
+        (every production config's resolution); it falls back to tiled
+        when spatial tiling would kick in.
+        """
         z = z.astype(self.dtype)
         b, tf, hl, wl, _ = z.shape
         if opt_tiling:
             sample_frames = 4 * (tf - 1) + 1
             tile, stride = self._optimal_tiling(sample_frames, 8 * hl, 8 * wl)
             self._apply_tiling(tile, stride)
+
+        if mode == "stream":
+            needs_spatial = (
+                wl > self.tile_sample_stride_width // self.spatial_compression
+                or hl > self.tile_sample_min_height // self.spatial_compression)
+            if not needs_spatial:
+                from kandinsky5_tpu.models.vae_stream import streaming_decode
+
+                return streaming_decode(self.params, z)
 
         tile_lat_f = self.tile_sample_min_num_frames // self.temporal_compression
         if tf > tile_lat_f + 1:

@@ -56,10 +56,14 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 # measured on v5e at the 5s production shape (47,616 tokens, 28 heads):
-# large q blocks amortize K/V streaming; the fixed-shift kernel runs 2
+# large q blocks amortize K/V streaming; the fixed-shift kernel runs 4
 # heads per program (amortizing per-program overhead) with (1488, 768)
-# blocks — 81.8 TFLOP/s useful; the online kernel's extra row-stat
-# scratch caps its kv block at 512 (VMEM)
+# blocks and the in-kernel normalize epilogue — 81.1 TFLOP/s useful
+# (round-3 sweep: bk in {896, 1024, 1536} and bq in {744, 1536, 2976}
+# all slower or VMEM-infeasible; exp2-at-bf16 neutral — the VPU pass
+# already overlaps the MXU; ~82% of the d=64 ceiling is the measured
+# plateau for this QK->exp2->PV structure). The online kernel's extra
+# row-stat scratch caps its kv block at 512 (VMEM)
 BLOCK_Q = 1488
 BLOCK_K = 768
 BLOCK_K_ONLINE = 512
@@ -86,7 +90,7 @@ def _apply_masks(s, mask_ref, qid_ref, kid_ref, masked, ids_masked):
 
 
 def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int, dt: int,
-                  norm: str):
+                  norm: str, exp_bf16: bool):
     if masked:
         q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref = refs
     else:
@@ -128,10 +132,16 @@ def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int, dt: int,
         if masked:
             s = jnp.where(mask_ref[0, 0][None, :] != 0, s, _NEG)
         # scores arrive pre-scaled by log2(e) (see _augment): exp2 is
-        # the native VPU transcendental, skipping exp's internal multiply
-        p = jnp.exp2(s)
+        # the native VPU transcendental, skipping exp's internal multiply.
+        # exp_bf16 computes it at bf16 — the softmax weights were going
+        # to round to bf16 for the PV matmul anyway (same 2^-8 relative
+        # error), and the narrower VPU pass overlaps the MXU better.
+        if exp_bf16:
+            p = jnp.exp2(s.astype(v_ref.dtype))
+        else:
+            p = jnp.exp2(s).astype(v_ref.dtype)
         acc_ref[h] += jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[h],
+            p, v_ref[h],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -203,10 +213,12 @@ def _kernel_online(live_ref, q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "masked", "block_q", "block_k", "norm", "hp_opt", "interpret"))
+    "masked", "block_q", "block_k", "norm", "hp_opt", "exp_bf16",
+    "interpret"))
 def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
                       masked: bool, block_q: int, block_k: int,
                       norm: str = "in", hp_opt: Optional[int] = None,
+                      exp_bf16: bool = False,
                       interpret: bool = False) -> Array:
     """(BH, L, 128) augmented fixed-shift core (see _kernel_fixed).
 
@@ -230,11 +242,19 @@ def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
     if hp_opt is not None:
         hp = hp_opt if (bh % hp_opt == 0 and h % hp_opt == 0) else 1
     else:
-        hp = 2 if (bh % 2 == 0 and h % 2 == 0
-                   and 2 * block_q * block_k * 4 < 10 * 2**20) else 1
+        # round-3 sweep at the 5s shape: hp=4 81.1, hp=2 79.2, hp=7
+        # 80.2 TFLOP/s useful — prefer 4, fall back 2, then 1; bounded
+        # by a VMEM estimate (q + k + v + acc + out, double-buffered)
+        hp = 1
+        for cand in (4, 2):
+            vmem = cand * (2 * block_q * d * 2 + 4 * d * block_k * 2
+                           + block_q * d * 4 + 2 * block_q * d * 2)
+            if bh % cand == 0 and h % cand == 0 and vmem < 13 * 2**20:
+                hp = cand
+                break
     grid = (bh // hp, lq // block_q, num_k)
     kernel = functools.partial(_kernel_fixed, num_k=num_k, masked=masked,
-                               hp=hp, dt=dt, norm=norm)
+                               hp=hp, dt=dt, norm=norm, exp_bf16=exp_bf16)
     flops = 4 * lq * lk * d * bh
     in_specs = [
         pl.BlockSpec((hp, block_q, d), lambda b, i, j: (b, i, 0),
@@ -418,6 +438,7 @@ def flash_attention(
     fixed_shift: bool = True,
     norm: str = "in",
     hp_opt: Optional[int] = None,
+    exp_bf16: bool = False,
     interpret: bool = False,
 ) -> Array:
     """(B, L, H, D) flash attention.
@@ -471,7 +492,7 @@ def flash_attention(
         shift = score_bound(qf, kf)
         qa, ka, va = _augment(qf, kf, vf, shift, d)
         raw = _flash_fixed_bhld(qa, ka, va, mask, masked, block_q, block_k,
-                                norm=norm, hp_opt=hp_opt,
+                                norm=norm, hp_opt=hp_opt, exp_bf16=exp_bf16,
                                 interpret=interpret)
         if norm == "in":
             out = raw[:, :lq_orig]  # already normalized bf16 (bh, lq, d)

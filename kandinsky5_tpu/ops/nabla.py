@@ -237,8 +237,16 @@ class NablaMask(NamedTuple):
 
 def nabla_build_mask(q: Array, k: Array, sta: Array, thr: float = 0.9,
                      q_rows: int = 8,
-                     max_density: Optional[float] = 0.75) -> NablaMask:
-    """Build the banked adaptive mask + kv lists from q, k."""
+                     max_density: Optional[float] = 0.75,
+                     method: str = "bisect") -> NablaMask:
+    """Build the banked adaptive mask + kv lists from q, k.
+
+    ``q_rows=1, max_density=None, method="sort"`` is the exact-reference
+    parity mode (models/utils.py:136-163 semantics) running through the
+    same sparse kernel as production; the defaults are the measured-fast
+    TPU configuration whose deviations tests/test_nabla_semantics.py
+    quantifies (mask IoU + output delta).
+    """
     s1 = q.shape[1] // BLOCK
     if s1 % max(q_rows, 1) != 0:
         q_rows = 1
@@ -249,7 +257,7 @@ def nabla_build_mask(q: Array, k: Array, sta: Array, thr: float = 0.9,
     # ms/layer at 12% STA density; the kernel keeps the exact 64-token
     # flex granularity, with the paged path available via
     # sparse_attention(kv_page_blocks=2) for coarser masks.)
-    gmask = nabla_block_mask(q, k, sta, thr=thr, method="bisect",
+    gmask = nabla_block_mask(q, k, sta, thr=thr, method=method,
                              q_rows=q_rows, max_density=max_density)
     kv_inds, kv_nb = block_mask_to_kv_lists(gmask)
     return NablaMask(gmask, kv_inds, kv_nb, q_rows)
@@ -264,6 +272,7 @@ def nabla_attention(
     impl: str = "auto",
     q_rows: int = 8,
     max_density: Optional[float] = 0.75,
+    method: str = "bisect",
     shared: Optional[NablaMask] = None,
 ) -> Array:
     """Full NABLA path: adaptive mask + block-sparse attention.
@@ -288,5 +297,6 @@ def nabla_attention(
             mask = nabla_block_mask(q, k, sta, thr=thr, method="sort")
         return masked_block_attention_xla(q, k, v, mask)
     m = shared if shared is not None else nabla_build_mask(
-        q, k, sta, thr=thr, q_rows=q_rows, max_density=max_density)
+        q, k, sta, thr=thr, q_rows=q_rows, max_density=max_density,
+        method=method)
     return sparse_attention(q, k, v, m.kv_inds, m.kv_nb, q_rows=m.q_rows)

@@ -89,6 +89,9 @@ class Kandinsky5T2VPipeline:
             nabla_wH=m.attention.wH,
             nabla_wW=m.attention.wW,
             nabla_shared_mask=getattr(m.attention, "shared_mask", False),
+            nabla_q_rows=getattr(m.attention, "q_rows", 8),
+            nabla_max_density=getattr(m.attention, "max_density", 0.75),
+            nabla_method=getattr(m.attention, "threshold_method", "bisect"),
             sequential_cfg=sequential_cfg,
         )
 
@@ -197,11 +200,26 @@ class Kandinsky5T2VPipeline:
         return frames
 
     def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
-        """(B, T', H', W', 16) -> (B, T, H, W, 3) uint8 frames."""
+        """(B, T', H', W', 16) -> (B, T, H, W, 3) uint8 frames.
+
+        Decode mode policy (override: KANDINSKY5_TPU_VAE_DECODE=
+        tiled|stream): on a single device the streaming state-carry
+        decode (models/vae_stream.py) — no overlap recompute (~2x fewer
+        conv FLOPs) and measurably closer to the untiled network than
+        the reference's own tiling (tests/test_vae_stream.py); on a
+        multi-device mesh the faithful tiled path, whose independent
+        temporal tiles dp-batch across chips (streaming is serial in
+        time).
+        """
+        import os
+
         if self._vae_store is not None:
             self.vae.params = self._vae_store.stage()
         z = latents / self.vae.scaling_factor
-        video = self.vae.decode(z)
+        mode = os.environ.get("KANDINSKY5_TPU_VAE_DECODE")
+        if mode not in ("tiled", "stream"):
+            mode = "tiled" if self.vae.mesh is not None else "stream"
+        video = self.vae.decode(z, mode=mode)
         video = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
         video = ((video + 1.0) * 127.5).astype(jnp.uint8)
         out = np.asarray(video)  # forces completion before unstaging

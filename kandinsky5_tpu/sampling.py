@@ -104,6 +104,10 @@ class DenoiseSpec:
     # worst-case bound for the sparse path (ops/nabla.nabla_block_mask);
     # inert at the released checkpoints' ~5-15% real densities
     nabla_max_density: Optional[float] = 0.75
+    # bank size / threshold algorithm; (1, "sort", max_density=None) is
+    # the exact-reference parity mode through the production kernel
+    nabla_q_rows: int = 8
+    nabla_method: str = "bisect"
     # framework extension (default OFF): build the adaptive mask once
     # per step from block 0 and reuse across all layers
     nabla_shared_mask: bool = False
@@ -130,6 +134,7 @@ def _build_sparse(spec: DenoiseSpec, grid) -> Optional[SparseParams]:
     )
     return SparseParams(sta=jnp.asarray(sta), P=spec.nabla_P,
                         max_density=spec.nabla_max_density,
+                        q_rows=spec.nabla_q_rows, method=spec.nabla_method,
                         shared_mask=spec.nabla_shared_mask)
 
 

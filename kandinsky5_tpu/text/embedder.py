@@ -25,7 +25,7 @@ from kandinsky5_tpu.text.clip import ClipTextConfig, clip_pooled
 from kandinsky5_tpu.text.qwen import (
     QwenTextConfig,
     qwen_encode,
-    qwen_generate_greedy,
+    qwen_generate,
 )
 
 # Conditioning prompt templates and crop offsets — behavioral constants
@@ -142,17 +142,65 @@ class Kandinsky5TextEmbedder:
         return TextEmbeddings(text_embeds=embeds, pooled_embed=pooled,
                               mask=emb_mask)
 
-    def expand_prompt(self, prompt: str) -> str:
-        """Prompt beautification via greedy Qwen generation (reference
-        t2v_pipeline.py:47-88)."""
+    def _generation_config(self) -> dict:
+        """The checkpoint's generation_config.json, if downloaded — the
+        reference's ``model.generate`` picks these values up implicitly
+        (t2v_pipeline.py:76-78); we read the same file explicitly.
+        Cached; {} when absent (greedy fallback)."""
+        if not hasattr(self, "_gen_conf"):
+            import json
+            import os
+
+            self._gen_conf = {}
+            path = os.path.join(str(self.conf.qwen.checkpoint_path),
+                                "generation_config.json")
+            try:
+                with open(path) as f:
+                    self._gen_conf = json.load(f)
+            except (OSError, ValueError):
+                pass
+        return self._gen_conf
+
+    def expand_prompt(self, prompt: str, sample: Optional[bool] = None,
+                      seed: int = 0) -> str:
+        """Prompt beautification via Qwen generation (reference
+        t2v_pipeline.py:47-88). ``sample=None`` follows the checkpoint's
+        generation_config.json exactly like HF .generate does
+        (do_sample/temperature/top_p/top_k/repetition_penalty, seeded);
+        False forces deterministic greedy; True forces sampling with the
+        config's (or default) knobs."""
         messages = [{"role": "user",
                      "content": [{"type": "text",
                                   "text": EXPAND_INSTRUCTION.format(prompt)}]}]
         text = self.qwen_tokenizer.apply_chat_template(
             messages, tokenize=False, add_generation_prompt=True)
         ids = self.qwen_tokenizer(text, return_tensors="np")["input_ids"]
-        new_ids = qwen_generate_greedy(self.qwen_params, self.qwen_cfg,
-                                       ids, max_new_tokens=256)
+        gc = self._generation_config()
+        do_sample = bool(gc.get("do_sample", False)) if sample is None \
+            else bool(sample)
+        import os
+
+        gen_params = self.qwen_params
+        if os.environ.get("KANDINSKY5_TPU_INT8_EXPAND"):
+            # opt-in: int8 decode weights halve the bandwidth-bound
+            # per-token cost (~19 -> ~10 ms on v5e); expansion only —
+            # the conditioning encoder keeps bf16 numerics
+            if not hasattr(self, "_qwen_params_q"):
+                from kandinsky5_tpu.text.qwen import (
+                    quantize_qwen_decode_params,
+                )
+
+                self._qwen_params_q = quantize_qwen_decode_params(
+                    self.qwen_params)
+            gen_params = self._qwen_params_q
+        new_ids = qwen_generate(
+            gen_params, self.qwen_cfg, ids, max_new_tokens=256,
+            do_sample=do_sample,
+            temperature=float(gc.get("temperature", 1.0)),
+            top_p=float(gc.get("top_p", 1.0)),
+            top_k=int(gc.get("top_k", 0)),
+            repetition_penalty=float(gc.get("repetition_penalty", 1.0)),
+            seed=seed)
         return self.qwen_tokenizer.decode(new_ids, skip_special_tokens=True)
 
 

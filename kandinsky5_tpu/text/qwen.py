@@ -78,6 +78,19 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
             ).astype(x.dtype)
 
 
+def _lin(p, x):
+    """fp32-accumulated projection; transparently reads either a dense
+    ``weight`` or the int8 {weight_q, scale} pair produced by
+    :func:`quantize_qwen_decode_params` (per-output-channel symmetric;
+    the int8->bf16 convert fuses into the matmul's operand read, so
+    per-token HBM weight traffic halves on the bandwidth-bound decode)."""
+    if "weight" in p:
+        return jnp.dot(x, p["weight"], preferred_element_type=jnp.float32)
+    y = jnp.dot(x, p["weight_q"].astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    return y * p["scale"].astype(jnp.float32)
+
+
 def _attn(p, x, cos, sin, cfg: QwenTextConfig, mask, cache=None, cache_pos=None):
     """GQA attention; returns (out, new_cache).
 
@@ -86,11 +99,11 @@ def _attn(p, x, cos, sin, cfg: QwenTextConfig, mask, cache=None, cache_pos=None)
     """
     b, l, _ = x.shape
     hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = (jnp.dot(x, p["q_proj"]["weight"], preferred_element_type=jnp.float32)
+    q = (_lin(p["q_proj"], x)
          + p["q_proj"]["bias"]).astype(x.dtype).reshape(b, l, hq, d)
-    k = (jnp.dot(x, p["k_proj"]["weight"], preferred_element_type=jnp.float32)
+    k = (_lin(p["k_proj"], x)
          + p["k_proj"]["bias"]).astype(x.dtype).reshape(b, l, hkv, d)
-    v = (jnp.dot(x, p["v_proj"]["weight"], preferred_element_type=jnp.float32)
+    v = (_lin(p["v_proj"], x)
          + p["v_proj"]["bias"]).astype(x.dtype).reshape(b, l, hkv, d)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
@@ -117,17 +130,15 @@ def _attn(p, x, cos, sin, cfg: QwenTextConfig, mask, cache=None, cache_pos=None)
     out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(v_r.dtype), v_r,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(b, l, hq * d)
-    out = jnp.dot(out, p["o_proj"]["weight"],
-                  preferred_element_type=jnp.float32).astype(x.dtype)
+    out = _lin(p["o_proj"], out).astype(x.dtype)
     return out, new_cache
 
 
 def _mlp(p, x):
-    g = jnp.dot(x, p["gate_proj"]["weight"], preferred_element_type=jnp.float32)
-    u = jnp.dot(x, p["up_proj"]["weight"], preferred_element_type=jnp.float32)
+    g = _lin(p["gate_proj"], x)
+    u = _lin(p["up_proj"], x)
     h = (jax.nn.silu(g) * u).astype(x.dtype)
-    return jnp.dot(h, p["down_proj"]["weight"],
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return _lin(p["down_proj"], h).astype(x.dtype)
 
 
 def _layer(p, x, cos, sin, cfg, mask, cache=None, cache_pos=None):
@@ -229,6 +240,49 @@ def init_qwen_params_random(key, cfg: QwenTextConfig, dtype=jnp.bfloat16,
     return jax.jit(build)(key)
 
 
+def quantize_qwen_decode_params(params):
+    """Per-output-channel symmetric int8 quantization of every large
+    projection (q/k/v/o, gate/up/down, lm_head) for the DECODE path.
+
+    The greedy/sampled decode is HBM-bandwidth-bound (one pass over the
+    ~15 GB bf16 weights per token, measured ~19 ms/token on v5e); int8
+    storage halves that traffic. Quality-gated OPT-IN for prompt
+    expansion only (embedder.expand_prompt / serve) — the conditioning
+    encoder keeps the bf16 weights, its numerics feed the DiT. Layer
+    norms, biases and the embedding table stay as-is.
+    """
+    @jax.jit
+    def q(w):
+        a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+        scale = jnp.maximum(a, 1e-8) / 127.0
+        wq = jnp.clip(jnp.round(w.astype(jnp.float32) / scale),
+                      -127, 127).astype(jnp.int8)
+        return wq, scale.squeeze(-2)
+
+    def quant_entry(p):
+        wq, scale = q(p["weight"])
+        out = {"weight_q": wq, "scale": scale}
+        if "bias" in p:
+            out["bias"] = p["bias"]
+        return out
+
+    layers = params["layers"]
+    sa, mlp = layers["self_attn"], layers["mlp"]
+    return {
+        "embed_tokens": params["embed_tokens"],
+        "norm": params["norm"],
+        "lm_head": quant_entry(params["lm_head"]),
+        "layers": {
+            "input_layernorm": layers["input_layernorm"],
+            "post_attention_layernorm": layers["post_attention_layernorm"],
+            "self_attn": {k: quant_entry(sa[k]) for k in
+                          ("q_proj", "k_proj", "v_proj", "o_proj")},
+            "mlp": {k: quant_entry(mlp[k]) for k in
+                    ("gate_proj", "up_proj", "down_proj")},
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # Greedy generation (prompt expansion)
 # ---------------------------------------------------------------------------
@@ -254,36 +308,82 @@ def _prefill(params, cfg, ids, max_len):
 
     x, caches = jax.lax.scan(scan_layer, x, params["layers"])
     x = qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
-    logits = jnp.dot(x[:, -1], params["lm_head"]["weight"],
-                     preferred_element_type=jnp.float32)
-    return caches, jnp.argmax(logits, axis=-1)
+    logits = _lin(params["lm_head"], x[:, -1])
+    return caches, logits
 
 
 _EOS_DEFAULT = (151645, 151643)  # <|im_end|>, <|endoftext|>
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "max_new",
-                                             "eos_token_ids"),
-                   donate_argnums=(1,))
-def _decode_loop(params, caches, first_token, prompt_len, *, cfg,
-                 max_len, max_new, eos_token_ids):
-    """Whole greedy decode in ONE jitted lax.while_loop: the 28 per-layer
+def _process_logits(logits, presence, *, temperature, top_p, top_k,
+                    rep_penalty):
+    """HF LogitsProcessor semantics: repetition penalty over every seen
+    token (prompt + generated), then temperature, top-k, top-p."""
+    if rep_penalty != 1.0:
+        pen = jnp.where(logits > 0, logits / rep_penalty,
+                        logits * rep_penalty)
+        logits = jnp.where(presence[None], pen, logits)
+    if temperature != 1.0:
+        logits = logits / max(temperature, 1e-6)
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jax.lax.top_k(logits, logits.shape[-1])[0]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # HF TopPLogitsWarper: remove tokens whose cumulative probability
+        # EXCLUSIVE of themselves already reaches top_p (always keeps >=1)
+        cutoff_mask = (cum - probs) >= top_p
+        cutoff = jnp.sum(~cutoff_mask, axis=-1) - 1
+        thresh = jnp.take_along_axis(sorted_logits, cutoff[..., None],
+                                     axis=-1)
+        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+    return logits
+
+
+def _pick_token(logits, presence, key, *, do_sample, temperature, top_p,
+                top_k, rep_penalty):
+    logits = _process_logits(logits, presence, temperature=temperature,
+                             top_p=top_p, top_k=top_k,
+                             rep_penalty=rep_penalty)
+    if do_sample:
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "max_len", "max_new", "eos_token_ids", "do_sample",
+    "temperature", "top_p", "top_k", "rep_penalty"),
+    donate_argnums=(1,))
+def _decode_loop(params, caches, first_token, prompt_len, presence, rng,
+                 *, cfg, max_len, max_new, eos_token_ids,
+                 do_sample=False, temperature=1.0, top_p=1.0, top_k=0,
+                 rep_penalty=1.0):
+    """Whole decode in ONE jitted lax.while_loop: the 28 per-layer
     caches live as one (L, 2, B, max_len, hkv, d) buffer scanned over
     with the stacked layer params and updated in place (donated) — no
     per-token host dispatch and no per-token cache restack. The scan
     reads each layer's weights straight out of the stacked pytree, so
     per-token HBM traffic stays ~one pass over the 15 GB of weights
-    (measured ~19 ms/token on v5e — the bandwidth floor)."""
+    (measured ~19 ms/token on v5e — the bandwidth floor).
+
+    Greedy (do_sample=False, rep_penalty=1) is the deterministic default;
+    the sampling statics implement the HF generation-config semantics
+    the reference invokes via model.generate (t2v_pipeline.py:76-78) —
+    repetition penalty over prompt+generated tokens, temperature,
+    top-k, top-p, seeded categorical draw.
+    """
     eos_arr = jnp.asarray(eos_token_ids, jnp.int32)
     out0 = jnp.zeros((max_new,), jnp.int32).at[0].set(first_token[0])
     done0 = jnp.any(first_token[0] == eos_arr)
+    presence = presence.at[first_token[0]].set(True)
 
     def cond(st):
-        _, _, _, _, n, done = st
-        return (n < max_new) & ~done
+        return (st[4] < max_new) & ~st[5]
 
     def body(st):
-        caches, last, pos, out, n, done = st
+        caches, last, pos, out, n, done, presence, rng = st
         x = jnp.take(params["embed_tokens"]["weight"], last[:, None],
                      axis=0)
         cos, sin = qwen_rope(jnp.full((1, 1), pos, jnp.int32),
@@ -299,27 +399,36 @@ def _decode_loop(params, caches, first_token, prompt_len, *, cfg,
         x, caches = jax.lax.scan(scan_layer, x,
                                  (params["layers"], caches))
         x = qwen_rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
-        logits = jnp.dot(x[:, -1], params["lm_head"]["weight"],
-                         preferred_element_type=jnp.float32)
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = _lin(params["lm_head"], x[:, -1])
+        rng, sub = jax.random.split(rng)
+        token = _pick_token(logits, presence, sub, do_sample=do_sample,
+                            temperature=temperature, top_p=top_p,
+                            top_k=top_k, rep_penalty=rep_penalty)
         is_eos = jnp.any(token[0] == eos_arr)
         out = out.at[n].set(jnp.where(is_eos, 0, token[0]))
         n = n + jnp.where(is_eos, 0, 1)
-        return caches, token, pos + 1, out, n, is_eos
+        presence = presence.at[token[0]].set(True)
+        return caches, token, pos + 1, out, n, is_eos, presence, rng
 
     st = (caches, first_token, prompt_len, out0,
-          jnp.where(done0, 0, 1), done0)
+          jnp.where(done0, 0, 1), done0, presence, rng)
     st = jax.lax.while_loop(cond, body, st)
     return st[3], st[4]
 
 
-def qwen_generate_greedy(params, cfg: QwenTextConfig, input_ids: np.ndarray,
-                         max_new_tokens: int = 256,
-                         eos_token_ids: Tuple[int, ...] = _EOS_DEFAULT,
-                         ) -> np.ndarray:
-    """Greedy decode (the reference's expand_prompt generation,
-    t2v_pipeline.py:76-78, runs HF .generate with default greedy-ish
-    sampling; we implement deterministic greedy). Single prompt (B=1).
+def qwen_generate(params, cfg: QwenTextConfig, input_ids: np.ndarray,
+                  max_new_tokens: int = 256,
+                  eos_token_ids: Tuple[int, ...] = _EOS_DEFAULT,
+                  do_sample: bool = False, temperature: float = 1.0,
+                  top_p: float = 1.0, top_k: int = 0,
+                  repetition_penalty: float = 1.0,
+                  seed: int = 0) -> np.ndarray:
+    """Autoregressive decode, greedy by default. Single prompt (B=1).
+
+    The sampling knobs mirror the HF generation config the reference's
+    ``model.generate`` call picks up from the Qwen2.5-VL-Instruct
+    checkpoint (t2v_pipeline.py:76-78); the text embedder reads that
+    file and passes its values here (embedder.expand_prompt).
 
     Returns the newly generated token ids (echo trimmed). The prefill
     and decode-loop jits live at module scope so repeat calls skip
@@ -329,9 +438,26 @@ def qwen_generate_greedy(params, cfg: QwenTextConfig, input_ids: np.ndarray,
     prompt_len = ids.shape[1]
     max_len = prompt_len + max_new_tokens
 
-    caches, token = _prefill(params, cfg, jnp.asarray(ids), max_len)
-    out, n = _decode_loop(params, caches, token.astype(jnp.int32),
-                          jnp.int32(prompt_len), cfg=cfg, max_len=max_len,
-                          max_new=max_new_tokens,
-                          eos_token_ids=tuple(eos_token_ids))
+    caches, logits = _prefill(params, cfg, jnp.asarray(ids), max_len)
+    presence = jnp.zeros((cfg.vocab_size,), bool).at[ids[0]].set(True)
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    statics = dict(do_sample=do_sample, temperature=float(temperature),
+                   top_p=float(top_p), top_k=int(top_k),
+                   rep_penalty=float(repetition_penalty))
+    token = _pick_token(logits, presence, sub, **statics)
+    out, n = _decode_loop(params, caches, token,
+                          jnp.int32(prompt_len), presence, key, cfg=cfg,
+                          max_len=max_len, max_new=max_new_tokens,
+                          eos_token_ids=tuple(eos_token_ids), **statics)
     return np.asarray(out)[:int(n)]
+
+
+def qwen_generate_greedy(params, cfg: QwenTextConfig, input_ids: np.ndarray,
+                         max_new_tokens: int = 256,
+                         eos_token_ids: Tuple[int, ...] = _EOS_DEFAULT,
+                         ) -> np.ndarray:
+    """Deterministic greedy decode (back-compat alias of qwen_generate)."""
+    return qwen_generate(params, cfg, input_ids,
+                         max_new_tokens=max_new_tokens,
+                         eos_token_ids=eos_token_ids)

@@ -143,3 +143,86 @@ def test_clip_pooled_parity(tiny_clip):
         valid = int(mask[b].sum())
         np.testing.assert_allclose(np.asarray(hidden)[b, :valid],
                                    ref_hidden[b, :valid], rtol=2e-4, atol=2e-4)
+
+
+def test_logits_processing_matches_hf():
+    """Sampling-mode logits pipeline (repetition penalty -> temperature
+    -> top-k -> top-p) vs the HF LogitsProcessors the reference's
+    model.generate applies implicitly (t2v_pipeline.py:76-78)."""
+    from transformers.generation.logits_process import (
+        RepetitionPenaltyLogitsProcessor,
+        TemperatureLogitsWarper,
+        TopKLogitsWarper,
+        TopPLogitsWarper,
+    )
+
+    from kandinsky5_tpu.text.qwen import _process_logits
+
+    rng = np.random.RandomState(0)
+    V = 97
+    logits = rng.randn(1, V).astype(np.float32) * 3.0
+    seen = np.array([3, 5, 5, 40, 96])
+    temperature, top_p, top_k, rep = 0.7, 0.8, 20, 1.05
+
+    t_scores = torch.from_numpy(logits.copy())
+    t_ids = torch.from_numpy(seen[None])
+    t_scores = RepetitionPenaltyLogitsProcessor(rep)(t_ids, t_scores)
+    t_scores = TemperatureLogitsWarper(temperature)(t_ids, t_scores)
+    t_scores = TopKLogitsWarper(top_k)(t_ids, t_scores)
+    t_scores = TopPLogitsWarper(top_p)(t_ids, t_scores)
+    ref = t_scores.numpy()
+
+    presence = jnp.zeros((V,), bool).at[jnp.asarray(seen)].set(True)
+    mine = np.asarray(_process_logits(
+        jnp.asarray(logits), presence, temperature=temperature,
+        top_p=top_p, top_k=top_k, rep_penalty=rep))
+
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(mine), fin)
+    np.testing.assert_allclose(mine[fin], ref[fin], rtol=1e-5, atol=1e-5)
+
+
+def test_sampling_decode_seeded_and_greedy_default(tiny_qwen):
+    """qwen_generate: greedy default unchanged; seeded sampling is
+    reproducible and differs across seeds at high temperature."""
+    model, my_cfg, params = tiny_qwen
+    rng = np.random.RandomState(7)
+    ids = rng.randint(0, my_cfg.vocab_size, (1, 9))
+
+    from kandinsky5_tpu.text.qwen import qwen_generate, qwen_generate_greedy
+
+    g1 = qwen_generate_greedy(params, my_cfg, ids, max_new_tokens=8,
+                              eos_token_ids=(my_cfg.vocab_size - 1,))
+    g2 = qwen_generate(params, my_cfg, ids, max_new_tokens=8,
+                       eos_token_ids=(my_cfg.vocab_size - 1,))
+    np.testing.assert_array_equal(g1, g2)
+
+    s1 = qwen_generate(params, my_cfg, ids, max_new_tokens=8,
+                       eos_token_ids=(my_cfg.vocab_size - 1,),
+                       do_sample=True, temperature=3.0, seed=1)
+    s1b = qwen_generate(params, my_cfg, ids, max_new_tokens=8,
+                        eos_token_ids=(my_cfg.vocab_size - 1,),
+                        do_sample=True, temperature=3.0, seed=1)
+    s2 = qwen_generate(params, my_cfg, ids, max_new_tokens=8,
+                       eos_token_ids=(my_cfg.vocab_size - 1,),
+                       do_sample=True, temperature=3.0, seed=2)
+    np.testing.assert_array_equal(s1, s1b)
+    assert not (len(s1) == len(s2) and np.array_equal(s1, s2))
+
+
+def test_int8_decode_quantization(tiny_qwen):
+    """Opt-in int8 decode weights: prefill logits stay close to bf16
+    (per-output-channel symmetric quantization; expansion-only path)."""
+    _, my_cfg, params = tiny_qwen
+    from kandinsky5_tpu.text.qwen import _prefill, quantize_qwen_decode_params
+
+    qparams = quantize_qwen_decode_params(params)
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(rng.randint(0, my_cfg.vocab_size, (1, 11)), jnp.int32)
+    _, logits = _prefill(params, my_cfg, ids, 16)
+    _, logits_q = _prefill(qparams, my_cfg, ids, 16)
+    a, b = np.asarray(logits), np.asarray(logits_q)
+    denom = max(float(np.abs(a).max()), 1e-6)
+    rel = float(np.abs(a - b).max()) / denom
+    print(f"int8 prefill logits max rel err: {rel:.4f}")
+    assert rel < 0.05

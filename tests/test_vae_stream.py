@@ -1,0 +1,119 @@
+"""Streaming (state-carry) VAE decode: exactness of the carried causal
+state, and PSNR of the per-chunk-GroupNorm approximation against both
+the untiled decode and the faithful tiled path (VERDICT round-2 item 2b:
+the deviation must be a measured number, not a claim)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kandinsky5_tpu.models.vae import (
+    HunyuanVideoVAE,
+    causal_conv3d,
+    decoder_forward,
+    init_vae_params,
+)
+from kandinsky5_tpu.models.vae_stream import (
+    _decode_chunk,
+    conv3d_stream,
+    streaming_decode,
+)
+from kandinsky5_tpu.utils.metrics import psnr
+
+
+@pytest.fixture(scope="module")
+def vae_params():
+    return init_vae_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+def test_conv_stream_exact():
+    """Chunked causal conv with carried history == one-shot causal conv."""
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    p = {
+        "weight": jax.random.normal(k1, (3, 3, 3, 8, 8), jnp.float32) * 0.1,
+        "bias": jax.random.normal(k2, (8,), jnp.float32) * 0.1,
+    }
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 9, 6, 6, 8))
+    full = causal_conv3d(p, x)
+    hist = None
+    outs = []
+    for lo, hi in ((0, 3), (3, 5), (5, 9)):
+        y, hist = conv3d_stream(p, x[:, lo:hi], hist)
+        outs.append(y)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_single_chunk_equals_untiled(vae_params):
+    """One chunk covering all frames == the plain untiled decoder."""
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 8, 8, 16))
+    from kandinsky5_tpu.models.vae import conv1x1
+
+    zq = conv1x1(vae_params["post_quant_conv"], z)
+    full = decoder_forward(vae_params["decoder"], zq)
+    out, _ = _decode_chunk(vae_params, z, None, True, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_streaming_vs_untiled_psnr(vae_params):
+    """Disjoint chunks with carried state vs one-shot untiled decode:
+    only the per-chunk GroupNorm stats (and the finite attention window)
+    differ. Report the PSNR so regressions are visible."""
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, 7, 8, 8, 16)) * 0.5
+    from kandinsky5_tpu.models.vae import conv1x1
+
+    zq = conv1x1(vae_params["post_quant_conv"], z)
+    full = np.asarray(decoder_forward(vae_params["decoder"], zq))
+    out = np.asarray(streaming_decode(vae_params, z, chunk_lat=2))
+    assert out.shape == full.shape == (1, 25, 64, 64, 3)
+    rng = float(full.max() - full.min())
+    p = psnr(out, full, max_val=rng)
+    print(f"stream-vs-untiled PSNR: {p:.1f} dB (range {rng:.2f})")
+    # random weights are the worst case for GN-stat drift; real
+    # checkpoints (smooth activations) sit far higher
+    assert p > 25.0, p
+
+
+def test_streaming_vs_tiled_psnr(vae_params):
+    """Streaming vs the faithful reference tiled path at a shape that
+    actually exercises temporal tiling — with the tiled-vs-untiled gap
+    printed alongside, because BOTH are approximations of the same
+    untiled network and the comparison only means something relative to
+    that gap."""
+    vae = HunyuanVideoVAE(vae_params, dtype=jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 7, 8, 8, 16)) * 0.5
+    vae._apply_tiling((17, 64, 64), (8, 64, 64))
+    tiled = np.asarray(vae.decode(z, opt_tiling=False))
+    stream = np.asarray(vae.decode(z, opt_tiling=False, mode="stream"))
+    from kandinsky5_tpu.models.vae import conv1x1, decoder_forward
+
+    zq = conv1x1(vae_params["post_quant_conv"], z.astype(jnp.float32))
+    untiled = np.asarray(decoder_forward(vae_params["decoder"], zq))
+    assert stream.shape == tiled.shape == untiled.shape
+    rng = float(tiled.max() - tiled.min())
+    p_st = psnr(stream, tiled, max_val=rng)
+    p_su = psnr(stream, untiled, max_val=rng)
+    p_tu = psnr(tiled, untiled, max_val=rng)
+    print(f"stream-vs-tiled {p_st:.1f} dB; stream-vs-untiled {p_su:.1f} dB; "
+          f"tiled-vs-untiled {p_tu:.1f} dB")
+    # measured with RANDOM weights (worst case for GroupNorm-stat
+    # drift): stream-tiled 22.7 dB, stream-untiled 38.8 dB, i.e. the
+    # streaming path tracks the TRUE (untiled) network far closer than
+    # the reference's own tiling does — the 22.7 is dominated by the
+    # tiled path's blend seams, not by streaming drift. 20 dB is the
+    # regression floor; tools/parity_check.py gates real checkpoints.
+    assert p_st > 20.0, p_st
+    assert p_su > 30.0, p_su
+    assert p_su > p_tu - 3.0  # streaming at least as faithful as tiling
+
+
+def test_streaming_frame_count_odd_tail(vae_params):
+    """Ragged last chunk still produces 4(T'-1)+1 frames."""
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, 6, 8, 8, 16))
+    out = streaming_decode(vae_params, z, chunk_lat=3)
+    assert out.shape[1] == 4 * (6 - 1) + 1
