@@ -92,6 +92,20 @@ def bench_text_stage(extra):
     del qp
     gc.collect()
 
+    # int8-decode opt-in (text/qwen.quantize_qwen_decode_params): decode
+    # is bandwidth-bound, so the int8 pytree is built directly at random
+    # (quantizing the resident bf16 model would need bf16+int8 in HBM
+    # at once; values don't affect timing)
+    try:
+        t_expand_q = _bench_expand_int8(qcfg, eids)
+        extra["text_expand_int8_s"] = round(t_expand_q, 2)
+        print(f"# prompt expansion int8: steady {t_expand_q:.2f}s "
+              f"(opt-in KANDINSKY5_TPU_INT8_EXPAND)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# int8 expansion skipped: {type(e).__name__}: {e}"[:160],
+              file=sys.stderr)
+    gc.collect()
+
     ccfg = ClipTextConfig()
     cp = init_clip_params_random(jax.random.PRNGKey(4), ccfg)
     cids = jnp.asarray(rng.randint(0, ccfg.vocab_size, (1, 77)), jnp.int32)
@@ -109,6 +123,58 @@ def bench_text_stage(extra):
     extra["text_encode_s"] = round(t_encode, 2)
     extra["clip_s"] = round(t_clip, 3)
     return t_expand + t_encode + t_clip
+
+
+def _bench_expand_int8(qcfg, eids):
+    """Decode throughput with the int8 weight layout (random values)."""
+    import time as _time
+
+    from kandinsky5_tpu.text.qwen import qwen_generate
+
+    key = jax.random.PRNGKey(7)
+    L, h, d = qcfg.num_hidden_layers, qcfg.hidden_size, qcfg.head_dim
+    hq, hkv = qcfg.num_attention_heads, qcfg.num_key_value_heads
+    inter, V = qcfg.intermediate_size, qcfg.vocab_size
+
+    def qw(k, *s):
+        # scale mirrors quantize_qwen_decode_params's layout: per-output
+        # channel, keeping the stacked L axis for the decode scan
+        scale_shape = (s[0], s[-1]) if len(s) == 3 else s[-1:]
+        return {"weight_q": jax.random.randint(k, s, -127, 127, jnp.int8),
+                "scale": jnp.full(scale_shape, 1e-3, jnp.float32)}
+
+    ks = iter(jax.random.split(key, 16))
+    qp = {
+        "embed_tokens": {"weight": jax.random.uniform(
+            next(ks), (V, h), jnp.bfloat16, -0.02, 0.02)},
+        "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
+        "lm_head": qw(next(ks), h, V),
+        "layers": {
+            "input_layernorm": {"weight": jnp.ones((L, h), jnp.bfloat16)},
+            "post_attention_layernorm": {
+                "weight": jnp.ones((L, h), jnp.bfloat16)},
+            "self_attn": {
+                "q_proj": dict(qw(next(ks), L, h, hq * d),
+                               bias=jnp.zeros((L, hq * d), jnp.bfloat16)),
+                "k_proj": dict(qw(next(ks), L, h, hkv * d),
+                               bias=jnp.zeros((L, hkv * d), jnp.bfloat16)),
+                "v_proj": dict(qw(next(ks), L, h, hkv * d),
+                               bias=jnp.zeros((L, hkv * d), jnp.bfloat16)),
+                "o_proj": qw(next(ks), L, hq * d, h),
+            },
+            "mlp": {
+                "gate_proj": qw(next(ks), L, h, inter),
+                "up_proj": qw(next(ks), L, h, inter),
+                "down_proj": qw(next(ks), L, inter, h),
+            },
+        },
+    }
+    qwen_generate(qp, qcfg, eids, max_new_tokens=256)
+    t0 = _time.perf_counter()
+    qwen_generate(qp, qcfg, eids, max_new_tokens=256)
+    t = _time.perf_counter() - t0
+    del qp
+    return t
 
 
 def bench_denoise(quick, extra):
@@ -196,28 +262,54 @@ def bench_denoise(quick, extra):
 
 
 def bench_vae(latents, extra):
+    """Measures BOTH decode paths: the faithful tiled decode (the
+    multi-chip/dp path and the parity reference) and the streaming
+    state-carry decode (the single-chip pipeline default,
+    models/vae_stream.py — no 2.26x overlap recompute), plus the PSNR
+    between them on a 4-frame slice (full frames cannot be fetched
+    through the ~10 MB/s tunnel). ``vae_s`` is the shipped single-chip
+    default (stream); ``vae_tiled_s`` feeds the v5e-8 dp projection."""
     from kandinsky5_tpu.models.vae import HunyuanVideoVAE, init_vae_params
+    from kandinsky5_tpu.utils.metrics import psnr
 
     vae = HunyuanVideoVAE(
         init_vae_params(jax.random.PRNGKey(1), dtype=jnp.bfloat16),
         dtype=jnp.bfloat16)
+    z = latents.astype(jnp.bfloat16)
 
-    def run_decode():
-        video = vae.decode(latents.astype(jnp.bfloat16))
+    def run_decode(mode):
+        video = vae.decode(z, mode=mode)
         _sync_scalar(video)
+        return video
 
-    t0 = time.perf_counter()
-    run_decode()
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run_decode()
-    t_vae = time.perf_counter() - t0
-    print(f"# vae decode: compile+first {compile_s:.1f}s, steady "
-          f"{t_vae:.1f}s", file=sys.stderr)
-    extra["vae_s"] = round(t_vae, 2)
+    times = {}
+    frames = {}
+    for mode in ("tiled", "stream"):
+        t0 = time.perf_counter()
+        v = run_decode(mode)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        v = run_decode(mode)
+        times[mode] = time.perf_counter() - t0
+        frames[mode] = np.asarray(v[0, 40:44].astype(jnp.float32))
+        print(f"# vae decode [{mode}]: compile+first {compile_s:.1f}s, "
+              f"steady {times[mode]:.1f}s", file=sys.stderr)
+        del v
+        gc.collect()
+
+    ref = frames["tiled"]
+    rng_v = max(float(ref.max() - ref.min()), 1e-6)
+    p = psnr(frames["stream"], ref, max_val=rng_v)
+    print(f"# vae stream-vs-tiled PSNR (frames 40-43): {p:.1f} dB "
+          f"(random weights — the GroupNorm-drift worst case; see "
+          f"tests/test_vae_stream.py for the untiled-reference framing)",
+          file=sys.stderr)
+    extra["vae_s"] = round(times["stream"], 2)
+    extra["vae_tiled_s"] = round(times["tiled"], 2)
+    extra["vae_stream_vs_tiled_psnr_db"] = round(p, 1)
     del vae
     gc.collect()
-    return t_vae
+    return times["stream"]
 
 
 def bench_nabla10s(extra):
@@ -417,9 +509,11 @@ def project_v5e8(extra):
                 + extra.get("text_encode_s", 0.0)
                 + extra.get("clip_s", 0.0))
 
-    vae_1chip = extra.get("vae_s", 0.0)
-    # 14 full temporal tiles (stride 2 over 31 latent frames) in 2 waves
-    # of 8, + the ragged boundary tile — ~2.2/14ths of the serial cost
+    # the dp projection uses the TILED path (independent temporal tiles
+    # dp-batch across chips; streaming is serial in time): 14 full tiles
+    # (stride 2 over 31 latent frames) in 2 waves of 8, + the ragged
+    # boundary tile — ~2.2/14ths of the serial tiled cost
+    vae_1chip = extra.get("vae_tiled_s", extra.get("vae_s", 0.0))
     vae_tp8 = vae_1chip * 2.2 / 14 if vae_1chip else 0.0
 
     extra["v5e8_attention_s_per_nfe"] = round(att_1chip / N, 3)

@@ -43,9 +43,8 @@ def main():
         return out
 
     results = {}
-    for mode, kw in (("tiled", {}), ("stream4", {"chunk_lat": 4}),
-                     ("stream8", {"chunk_lat": 8}),
-                     ("stream4w8", {"chunk_lat": 4, "attn_past": 8})):
+    for mode, kw in (("tiled", {}), ("stream2", {"chunk_lat": 2}),
+                     ("stream3", {"chunk_lat": 3})):
         m = "tiled" if mode == "tiled" else "stream"
         try:
             t0 = time.perf_counter()
@@ -65,7 +64,7 @@ def main():
         # the 10 MB/s tunnel is infeasible; a 4-frame slice is ~9 MB)
         ref = np.asarray(results["tiled"][1][0, 40:44].astype(jnp.float32))
         rngv = float(ref.max() - ref.min())
-        for mode in ("stream4", "stream8", "stream4w8"):
+        for mode in ("stream2", "stream3"):
             if mode not in results:
                 continue
             out = np.asarray(results[mode][1][0, 40:44].astype(jnp.float32))
