@@ -247,18 +247,18 @@ def _decode_chunk(params, z, state, first: bool, attn_past: int):
     return decoder_stream(params["decoder"], z, state, first, attn_past)
 
 
-def streaming_decode(params, z: Array, chunk_lat: int = 2,
+def streaming_decode(params, z: Array, chunk_lat: int = 3,
                      attn_past: int = 4) -> Array:
     """(B, T', H', W', 16) latents -> (B, T, 8H', 8W', 3) sample, decoded
     in disjoint ``chunk_lat``-latent-frame chunks with carried causal
     state (donated across chunks). The first chunk takes chunk_lat+1
     frames (the +1 maps to the un-duplicated global first frame).
 
-    ``chunk_lat=2`` (9-frame first chunk / 8-frame steady chunks at full
-    resolution) is the measured HBM sweet spot on a 16 GB v5e: larger
-    chunks put the carried state + a 17-frame activation set over the
-    top (the tiled path at the same tile size JUST fits because it
-    carries nothing)."""
+    Measured at the 5s production shape (768x512x121) on one 16 GB v5e,
+    vs the reference-faithful tiled decode's 16.9 s: chunk_lat=3 9.18 s,
+    chunk_lat=2 9.53 s, chunk_lat=4 OOM (the carried state + a 17-frame
+    full-res activation set; the tiled path at that tile size JUST fits
+    because it carries nothing)."""
     tf = z.shape[1]
     n0 = min(tf, chunk_lat + 1)
     out, state = _decode_chunk(params, z[:, :n0], None, True, attn_past)
