@@ -117,3 +117,29 @@ def test_streaming_frame_count_odd_tail(vae_params):
     z = jax.random.normal(jax.random.PRNGKey(6), (1, 6, 8, 8, 16))
     out = streaming_decode(vae_params, z, chunk_lat=3)
     assert out.shape[1] == 4 * (6 - 1) + 1
+
+
+def test_upsample_stream_exact():
+    """Chunked causal upsample(+conv) with carried post-repeat history ==
+    one-shot vae.upsample — exercises the rate-change state handoff
+    (history lives at the upsampled temporal rate)."""
+    from kandinsky5_tpu.models.vae import upsample
+    from kandinsky5_tpu.models.vae_stream import upsample_stream
+
+    key = jax.random.PRNGKey(8)
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {"conv": {
+        "weight": jax.random.normal(k1, (3, 3, 3, 4, 4), jnp.float32) * 0.2,
+        "bias": jax.random.normal(k2, (4,), jnp.float32) * 0.1,
+    }}
+    x = jax.random.normal(k3, (1, 7, 6, 6, 4))
+    for factor in ((2, 2, 2), (1, 2, 2)):
+        full = upsample(p, x, factor)
+        hist = None
+        outs = []
+        for i, (lo, hi) in enumerate(((0, 3), (3, 5), (5, 7))):
+            y, hist = upsample_stream(p, x[:, lo:hi], factor, hist, i == 0)
+            outs.append(y)
+        got = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5)
