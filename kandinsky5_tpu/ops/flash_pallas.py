@@ -90,7 +90,7 @@ def _apply_masks(s, mask_ref, qid_ref, kid_ref, masked, ids_masked):
 
 
 def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int, dt: int,
-                  norm: str, exp_bf16: bool):
+                  norm: str, exp_bf16: bool, interleave: bool = False):
     if masked:
         q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref = refs
     else:
@@ -121,14 +121,17 @@ def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int, dt: int,
     # hp heads run per program (they share all control flow and the
     # text mask): halving the program count amortizes per-program
     # overhead — measured +3% at the 5s shape.
-    for h in range(hp):
+
+    def qk(h):
         # K arrives pre-transposed (d, block_k): the MXU reads its rhs
         # in native (K, N) layout, skipping a per-program XLU transpose.
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q_ref[h], k_ref[h],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    def consume(h, s):
         if masked:
             s = jnp.where(mask_ref[0, 0][None, :] != 0, s, _NEG)
         # scores arrive pre-scaled by log2(e) (see _augment): exp2 is
@@ -145,6 +148,25 @@ def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int, dt: int,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if interleave and hp > 1:
+        # issue head h+1's QK matmul BEFORE consuming head h's scores:
+        # the exp2 VPU pass of head h then overlaps QK of h+1 on the
+        # MXU in issue order (the across-j lag-1 pipeline via a scores
+        # scratch was slower; this keeps s in values, no extra scratch).
+        # MEASURED A WASH at the 5s shape (80.4 vs 80.3 control; the
+        # extra live fp32 score tile VMEM-crashes hp=4 unless exp_bf16)
+        # — Mosaic evidently already schedules across the dependency.
+        # Kept OFF by default, retained for other shapes/hardware.
+        s = qk(0)
+        for h in range(hp):
+            s_cur = s
+            if h + 1 < hp:
+                s = qk(h + 1)
+            consume(h, s_cur)
+    else:
+        for h in range(hp):
+            consume(h, qk(h))
 
     @pl.when(j == num_k - 1)
     def _finalize():
@@ -214,11 +236,11 @@ def _kernel_online(live_ref, q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "masked", "block_q", "block_k", "norm", "hp_opt", "exp_bf16",
-    "interpret"))
+    "interleave", "interpret"))
 def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
                       masked: bool, block_q: int, block_k: int,
                       norm: str = "in", hp_opt: Optional[int] = None,
-                      exp_bf16: bool = False,
+                      exp_bf16: bool = False, interleave: bool = False,
                       interpret: bool = False) -> Array:
     """(BH, L, 128) augmented fixed-shift core (see _kernel_fixed).
 
@@ -254,7 +276,8 @@ def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
                 break
     grid = (bh // hp, lq // block_q, num_k)
     kernel = functools.partial(_kernel_fixed, num_k=num_k, masked=masked,
-                               hp=hp, dt=dt, norm=norm, exp_bf16=exp_bf16)
+                               hp=hp, dt=dt, norm=norm, exp_bf16=exp_bf16,
+                               interleave=interleave)
     flops = 4 * lq * lk * d * bh
     in_specs = [
         pl.BlockSpec((hp, block_q, d), lambda b, i, j: (b, i, 0),
@@ -439,6 +462,7 @@ def flash_attention(
     norm: str = "in",
     hp_opt: Optional[int] = None,
     exp_bf16: bool = False,
+    interleave: bool = False,
     interpret: bool = False,
 ) -> Array:
     """(B, L, H, D) flash attention.
@@ -493,7 +517,7 @@ def flash_attention(
         qa, ka, va = _augment(qf, kf, vf, shift, d)
         raw = _flash_fixed_bhld(qa, ka, va, mask, masked, block_q, block_k,
                                 norm=norm, hp_opt=hp_opt, exp_bf16=exp_bf16,
-                                interpret=interpret)
+                                interleave=interleave, interpret=interpret)
         if norm == "in":
             out = raw[:, :lq_orig]  # already normalized bf16 (bh, lq, d)
         elif norm == "in_wide":

@@ -41,39 +41,39 @@ def main():
     quick = "quick" in sys.argv[1:]
     if quick:
         cases = [
-            ("ext", None, 1488, 768, False),   # round-2 production baseline
-            ("in", None, 1488, 768, False),
-            ("in_wide", None, 1488, 768, False),
-            ("in", 4, 1488, 768, False),
+            ("ext", None, 1488, 768, False, False),
+            ("in", None, 1488, 768, False, False),
+            ("in_wide", None, 1488, 768, False, False),
+            ("in", 4, 1488, 768, False, False),
         ]
     else:
         # round 2 of the sweep: exp2-at-bf16 (halve the VPU pass between
         # the matmuls), more heads per program, kv block widths (must be
         # 128-multiples: Mosaic requires lane-dim % 128)
+        # round 3 of the sweep: head-interleaved QK issue (hide the
+        # exp2 VPU pass behind the next head's QK on the MXU)
         cases = [
-            ("in", 4, 1488, 768, True),
-            ("in", 7, 744, 768, True),
-            ("in", 7, 744, 768, False),
-            ("in", 4, 1488, 896, True),
-            ("in", 4, 1488, 1024, True),
-            ("in", 4, 2976, 768, True),
-            ("in", 14, 372, 768, True),
+            ("in", 4, 1488, 768, False, True),
+            ("in", 2, 1488, 768, False, True),
+            ("in", 4, 1488, 768, True, True),
+            ("in", 4, 1488, 768, False, False),  # control
         ]
-    for norm, hp, bq, bk, eb in cases:
+    for norm, hp, bq, bk, eb, il in cases:
         if S % bq:
             print(f"skip bq={bq} (not a divisor)")
             continue
         f = jax.jit(functools.partial(
             fp.flash_attention, block_q=bq, block_k=bk, norm=norm,
-            hp_opt=hp, exp_bf16=eb))
+            hp_opt=hp, exp_bf16=eb, interleave=il))
         try:
             t = timeit(f, q, k, v)
         except Exception as e:  # noqa: BLE001
-            print(f"norm={norm} hp={hp} bq={bq} bk={bk} eb={eb}: FAIL "
-                  f"{type(e).__name__}: {e}"[:160], flush=True)
+            print(f"norm={norm} hp={hp} bq={bq} bk={bk} eb={eb} il={il}: "
+                  f"FAIL {type(e).__name__}: {e}"[:160], flush=True)
             continue
-        print(f"norm={norm:8s} hp={hp} bq={bq} bk={bk} eb={int(eb)}: "
-              f"{t*1e3:8.1f} ms  {flops/t/1e12:6.1f} TFLOP/s", flush=True)
+        print(f"norm={norm:8s} hp={hp} bq={bq} bk={bk} eb={int(eb)} "
+              f"il={int(il)}: {t*1e3:8.1f} ms  {flops/t/1e12:6.1f} TFLOP/s",
+              flush=True)
 
 
 if __name__ == "__main__":
