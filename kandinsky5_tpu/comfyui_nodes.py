@@ -187,15 +187,8 @@ class Kandinsky5VAEDecode:
         }}
 
     def decode(self, vae, latent):
-        import os
-
         z = latent / vae.scaling_factor
-        # same decode-mode policy as pipeline.decode_latents: streaming
-        # on a single device, faithful dp-tiled on a mesh
-        mode = os.environ.get("KANDINSKY5_TPU_VAE_DECODE")
-        if mode not in ("tiled", "stream"):
-            mode = "tiled" if vae.mesh is not None else "stream"
-        video = vae.decode(z, mode=mode)
+        video = vae.decode(z, mode=vae.default_decode_mode())
         video = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
         frames = np.asarray((video + 1.0) / 2.0)  # ComfyUI expects [0,1]
         return (frames[0],)

@@ -379,6 +379,19 @@ class HunyuanVideoVAE:
         self.tile_sample_stride_height = 192
         self.tile_sample_stride_width = 192
 
+    def default_decode_mode(self) -> str:
+        """Decode-mode policy shared by pipeline.decode_latents and the
+        ComfyUI decode node: KANDINSKY5_TPU_VAE_DECODE overrides;
+        otherwise streaming on a single device (models/vae_stream.py),
+        faithful dp-tiled on a mesh (independent tiles batch across
+        chips; streaming is serial in time)."""
+        import os
+
+        mode = os.environ.get("KANDINSKY5_TPU_VAE_DECODE")
+        if mode in ("tiled", "stream"):
+            return mode
+        return "tiled" if self.mesh is not None else "stream"
+
     # -- tiling selection (reference get_enc/dec_optimal_tiling,
     #    vae.py:1245-1273)
     def _optimal_tiling(self, num_frames, height, width):
@@ -465,13 +478,42 @@ class HunyuanVideoVAE:
         blend_h = self.tile_sample_min_height - self.tile_sample_stride_height
         blend_w = self.tile_sample_min_width - self.tile_sample_stride_width
 
-        rows = []
-        for i in range(0, hl - t_lat_h + 1, s_lat_h):
-            row = []
-            for j in range(0, wl - t_lat_w + 1, s_lat_w):
-                tile = z[:, :, i:i + t_lat_h, j:j + t_lat_w, :]
-                row.append(_decode_tile(self.params, tile))
-            rows.append(row)
+        i_starts = list(range(0, hl - t_lat_h + 1, s_lat_h))
+        j_starts = list(range(0, wl - t_lat_w + 1, s_lat_w))
+        coords = [(i, j) for i in i_starts for j in j_starts]
+        if self.mesh is not None and len(coords) > 1:
+            # every spatial tile is exactly (t_lat_h, t_lat_w): batch
+            # them all into one dp-sharded decode (same pattern as the
+            # temporal tiles below — VERDICT r2 item 2c)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tiles = jnp.concatenate(
+                [z[:, :, i:i + t_lat_h, j:j + t_lat_w, :]
+                 for i, j in coords], axis=0)
+            n_dev = self.mesh.shape.get("dp", 1)
+            pad = (-tiles.shape[0]) % n_dev
+            if pad:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.zeros((pad, *tiles.shape[1:]), tiles.dtype)],
+                    axis=0)
+            tiles = jax.device_put(tiles, NamedSharding(self.mesh, P("dp")))
+            decoded_all = _decode_tile(self.params, tiles)
+            rows = []
+            idx = 0
+            for _ in i_starts:
+                row = []
+                for _ in j_starts:
+                    row.append(decoded_all[idx * b:(idx + 1) * b])
+                    idx += 1
+                rows.append(row)
+        else:
+            rows = []
+            for i in i_starts:
+                row = []
+                for j in j_starts:
+                    tile = z[:, :, i:i + t_lat_h, j:j + t_lat_w, :]
+                    row.append(_decode_tile(self.params, tile))
+                rows.append(row)
 
         result_rows = []
         for i, row in enumerate(rows):

@@ -266,14 +266,19 @@ def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
     else:
         # round-3 sweep at the 5s shape: hp=4 81.1, hp=2 79.2, hp=7
         # 80.2 TFLOP/s useful — prefer 4, fall back 2, then 1; bounded
-        # by a VMEM estimate (q + k + v + acc + out, double-buffered)
+        # by (a) a buffer estimate (q + k + v + acc + out,
+        # double-buffered) and (b) the fp32 score tile, whose size is
+        # the measured compile boundary: (1488, 768) tiles (4.6 MiB)
+        # compile at hp=4 while (2976, 768) tiles (9.1 MiB) crash the
+        # Mosaic allocator even at hp=2 — gate multi-head at 6 MiB
         hp = 1
-        for cand in (4, 2):
-            vmem = cand * (2 * block_q * d * 2 + 4 * d * block_k * 2
-                           + block_q * d * 4 + 2 * block_q * d * 2)
-            if bh % cand == 0 and h % cand == 0 and vmem < 13 * 2**20:
-                hp = cand
-                break
+        if block_q * block_k * 4 < 6 * 2**20:
+            for cand in (4, 2):
+                vmem = cand * (2 * block_q * d * 2 + 4 * d * block_k * 2
+                               + block_q * d * 4 + 2 * block_q * d * 2)
+                if bh % cand == 0 and h % cand == 0 and vmem < 13 * 2**20:
+                    hp = cand
+                    break
     grid = (bh // hp, lq // block_q, num_k)
     kernel = functools.partial(_kernel_fixed, num_k=num_k, masked=masked,
                                hp=hp, dt=dt, norm=norm, exp_bf16=exp_bf16,

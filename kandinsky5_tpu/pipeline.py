@@ -211,15 +211,10 @@ class Kandinsky5T2VPipeline:
         temporal tiles dp-batch across chips (streaming is serial in
         time).
         """
-        import os
-
         if self._vae_store is not None:
             self.vae.params = self._vae_store.stage()
         z = latents / self.vae.scaling_factor
-        mode = os.environ.get("KANDINSKY5_TPU_VAE_DECODE")
-        if mode not in ("tiled", "stream"):
-            mode = "tiled" if self.vae.mesh is not None else "stream"
-        video = self.vae.decode(z, mode=mode)
+        video = self.vae.decode(z, mode=self.vae.default_decode_mode())
         video = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
         video = ((video + 1.0) * 127.5).astype(jnp.uint8)
         out = np.asarray(video)  # forces completion before unstaging

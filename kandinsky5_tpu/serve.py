@@ -271,8 +271,13 @@ class GenerationServer:
                     job = outer.jobs.get(self.path.split("/", 2)[2])
                     if job is None or job.state != "done":
                         return self._json(404, {"error": "not ready"})
-                    with open(job.result_path, "rb") as f:
-                        data = f.read()
+                    try:
+                        with open(job.result_path, "rb") as f:
+                            data = f.read()
+                    except OSError:
+                        # eviction may have deleted the file between the
+                        # unlocked record fetch and this read
+                        return self._json(404, {"error": "result evicted"})
                     self.send_response(200)
                     self.send_header("Content-Type", "video/mp4")
                     self.send_header("Content-Length", str(len(data)))

@@ -198,7 +198,9 @@ class Kandinsky5TextEmbedder:
             do_sample=do_sample,
             temperature=float(gc.get("temperature", 1.0)),
             top_p=float(gc.get("top_p", 1.0)),
-            top_k=int(gc.get("top_k", 0)),
+            # HF GenerationConfig defaults top_k to 50 when the json
+            # omits the key — match .generate exactly
+            top_k=int(gc.get("top_k", 50)),
             repetition_penalty=float(gc.get("repetition_penalty", 1.0)),
             seed=seed)
         return self.qwen_tokenizer.decode(new_ids, skip_special_tokens=True)
