@@ -197,11 +197,16 @@ def bench_denoise(quick, extra):
     n_dev = len(jax.devices())
     mesh = None
     if n_dev > 1:
-        from kandinsky5_tpu.parallel.sharding import make_mesh, shard_dit_params
+        from kandinsky5_tpu.parallel.sharding import (
+            plan_dit_mesh,
+            shard_dit_params,
+        )
 
-        mesh = make_mesh(n_devices=n_dev, dp=1)
+        # tp = largest divisor of n_dev that divides the 28 heads; the
+        # rest slices the attention sequence (shard_map KV-gather path)
+        mesh = plan_dit_mesh(n_dev, num_heads=cfg.num_heads)
         params = shard_dit_params(params, mesh)
-        print(f"# denoise: sharding tp={n_dev}", file=sys.stderr)
+        print(f"# denoise: sharding {dict(mesh.shape)}", file=sys.stderr)
 
     # 5s distill config: 16 NFE, no CFG (guidance 1.0), 768x512
     # latent (31, 64, 96, 16) -> 47,616 visual tokens (BASELINE.md)

@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -51,6 +52,71 @@ def dense_attention(
     return out.astype(q.dtype)
 
 
+def _attention_local(q, k, v, kv_mask, impl):
+    """Single-device dispatch (runs per shard under the sharded path)."""
+    if impl == "dense":
+        return dense_attention(q, k, v, kv_mask=kv_mask)
+    from kandinsky5_tpu.ops.flash_pallas import flash_attention, flash_supported
+
+    if impl == "flash" or (impl == "auto" and flash_supported(q, k)):
+        return flash_attention(q, k, v, kv_mask=kv_mask)
+    return dense_attention(q, k, v, kv_mask=kv_mask)
+
+
+def _sharded_attention(q, k, v, kv_mask, impl, mesh):
+    """shard_map'd attention over ("dp", "sp", "tp"): batch over dp,
+    heads over tp (whole heads per device), query SEQUENCE over sp with
+    the K/V halves all-gathered inside (self-attention) — the Pallas
+    kernel then runs on explicit per-device shapes instead of hoping
+    GSPMD can partition an opaque custom call. 28 heads on 8 chips:
+    tp=4 x sp=2 (parallel.sharding.plan_dit_mesh).
+
+    Cross-attention (Lk != Lq, e.g. 256 text keys) keeps K/V whole per
+    device: only the queries slice over sp.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b, lq, h, _ = q.shape
+    lk = k.shape[1]
+    shape = dict(mesh.shape)
+    dp = "dp" if shape.get("dp", 1) > 1 and b % shape["dp"] == 0 else None
+    tp = "tp" if shape.get("tp", 1) > 1 and h % shape["tp"] == 0 else None
+    sp_n = shape.get("sp", 1)
+    sp = "sp" if sp_n > 1 and lq % sp_n == 0 else None
+    if tp is None and sp is None and dp is None:
+        return _attention_local(q, k, v, kv_mask, impl)
+    self_attn = lk == lq
+    kv_seq = sp if (self_attn and sp is not None) else None
+
+    if kv_mask is None:
+        def body(q_l, k_l, v_l):
+            if kv_seq is not None:
+                k_l = jax.lax.all_gather(k_l, kv_seq, axis=1, tiled=True)
+                v_l = jax.lax.all_gather(v_l, kv_seq, axis=1, tiled=True)
+            return _attention_local(q_l, k_l, v_l, None, impl)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(dp, sp, tp, None), P(dp, kv_seq, tp, None),
+                      P(dp, kv_seq, tp, None)),
+            out_specs=P(dp, sp, tp, None), check_rep=False,
+        )(q, k, v)
+
+    def body(q_l, k_l, v_l, m_l):
+        if kv_seq is not None:
+            k_l = jax.lax.all_gather(k_l, kv_seq, axis=1, tiled=True)
+            v_l = jax.lax.all_gather(v_l, kv_seq, axis=1, tiled=True)
+        return _attention_local(q_l, k_l, v_l, m_l, impl)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(dp, sp, tp, None), P(dp, kv_seq, tp, None),
+                  P(dp, kv_seq, tp, None), P(dp, None)),
+        out_specs=P(dp, sp, tp, None), check_rep=False,
+    )(q, k, v, kv_mask)
+
+
 def attention(
     q: Array,
     k: Array,
@@ -61,15 +127,16 @@ def attention(
     """Dispatch between the Pallas flash kernel and the XLA fallback.
 
     ``impl``: "auto" (flash on TPU when shapes allow, else dense),
-    "flash", or "dense".
+    "flash", or "dense". Under an active multi-device mesh
+    (parallel.sharding.sharding_ctx) the call routes through a
+    shard_map decomposition (see _sharded_attention).
     """
-    if impl == "dense":
-        return dense_attention(q, k, v, kv_mask=kv_mask)
-    from kandinsky5_tpu.ops.flash_pallas import flash_attention, flash_supported
+    from kandinsky5_tpu.parallel.sharding import active_mesh
 
-    if impl == "flash" or (impl == "auto" and flash_supported(q, k)):
-        return flash_attention(q, k, v, kv_mask=kv_mask)
-    return dense_attention(q, k, v, kv_mask=kv_mask)
+    mesh = active_mesh()
+    if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+        return _sharded_attention(q, k, v, kv_mask, impl, mesh)
+    return _attention_local(q, k, v, kv_mask, impl)
 
 
 def flash_vs_dense_max_err(q, k, v, kv_mask=None) -> float:

@@ -31,21 +31,41 @@ Array = jax.Array
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: int = 1,
-              devices=None) -> Mesh:
-    """1/2-axis mesh ("dp", "tp") over the available devices.
+              devices=None, sp: int = 1) -> Mesh:
+    """Mesh ("dp", "sp", "tp") over the available devices.
 
-    dp divides the device count; the rest is tp. The reference only
+    dp*sp divides the device count; the rest is tp. The reference only
     supports 1-D TP over 1/2/4 GPUs (utils.py:49-52); here dp>1
-    additionally parallelizes the CFG pair / multi-prompt batches.
+    additionally parallelizes the CFG pair / multi-prompt batches, and
+    sp>1 slices the attention SEQUENCE (ops/attention.py shard_map) so
+    device counts that don't divide the 28 heads still use every chip
+    (v5e-8: tp=4 x sp=2).
     """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % dp == 0, f"dp={dp} must divide {n} devices"
-    arr = np.array(devices).reshape(dp, n // dp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    assert n % (dp * sp) == 0, f"dp*sp={dp * sp} must divide {n} devices"
+    arr = np.array(devices).reshape(dp, sp, n // (dp * sp))
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
+
+
+def plan_dit_mesh(n_devices: int, num_heads: int = 28, dp: int = 1,
+                  devices=None) -> Mesh:
+    """Pick (dp, sp, tp) for the DiT: tp = the largest divisor of the
+    per-dp device count that also divides ``num_heads`` (head-parallel
+    attention needs whole heads per device); the remainder becomes sp
+    (sequence-sliced attention + KV all-gather). 8 devices / 28 heads
+    -> (dp=1, sp=2, tp=4)."""
+    per = n_devices // dp
+    tp = 1
+    for t in range(per, 0, -1):
+        if per % t == 0 and num_heads % t == 0:
+            tp = t
+            break
+    return make_mesh(n_devices=n_devices, dp=dp, sp=per // tp,
+                     devices=devices)
 
 
 def make_hybrid_mesh(tp: int = 4, dp_ici: int = 1, devices=None,
@@ -175,6 +195,11 @@ class sharding_ctx:
         return False
 
 
+def active_mesh() -> Optional[Mesh]:
+    """The mesh installed by the enclosing sharding_ctx, or None."""
+    return _ACTIVE_MESH
+
+
 def constrain(x: Array, *spec) -> Array:
     """with_sharding_constraint(x, spec) when a mesh context is active;
     identity otherwise (single-chip path stays clean)."""
@@ -191,8 +216,11 @@ def constrain_heads(x: Array) -> Array:
 
 def constrain_seq(x: Array) -> Array:
     """(B, S, D) residual stream between blocks: batch on dp, sequence on
-    tp — the sequence-parallel layout the reference applies to norms
-    (parallelize.py:39-56)."""
+    (sp, tp) — the sequence-parallel layout the reference applies to
+    norms (parallelize.py:39-56), widened over both non-batch axes when
+    the mesh carries an sp dimension."""
+    if _ACTIVE_MESH is not None and _ACTIVE_MESH.shape.get("sp", 1) > 1:
+        return constrain(x, "dp", ("sp", "tp"), None)
     return constrain(x, "dp", "tp", None)
 
 

@@ -300,7 +300,12 @@ def get_T2V_pipeline(
             # so its mesh must span only THIS process's devices
             vae_devices = jax.local_devices()
         else:
-            mesh = make_mesh(n_devices=tp, dp=1)
+            from kandinsky5_tpu.parallel.sharding import plan_dit_mesh
+
+            # tp here means "use N chips": heads take the largest
+            # divisor of N that divides them; the rest slices the
+            # attention sequence (sp; ops/attention._sharded_attention)
+            mesh = plan_dit_mesh(tp, num_heads=conf.model.dit_params.num_heads)
             vae_devices = list(mesh.devices.flat)
         dit_params = shard_dit_params(dit_params, mesh)
         # the VAE decodes temporal tiles as a dp-sharded batch

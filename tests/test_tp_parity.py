@@ -141,3 +141,31 @@ def test_hybrid_mesh_with_in_slice_dp():
     sharded = shard_dit_params(params, mesh)
     out = _run(cfg, sharded, noise, cond, uncond, mesh=mesh)
     np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("dp,sp", [(1, 2), (2, 2)])
+def test_sp_sharded_attention_denoise_matches_single(dp, sp):
+    """The shard_map attention decomposition (heads x SEQUENCE x batch,
+    ops/attention._sharded_attention — the v5e-8 production layout where
+    28 heads don't divide 8 chips) must be numerically identical to the
+    unsharded run."""
+    cfg, params, noise, cond, uncond = _setup()
+    base = _run(cfg, params, noise, cond, uncond, mesh=None)
+
+    mesh = make_mesh(n_devices=8, dp=dp, sp=sp)
+    assert mesh.shape["sp"] == sp and mesh.shape["tp"] == 8 // (dp * sp)
+    sharded = shard_dit_params(params, mesh)
+    out = _run(cfg, sharded, noise, cond, uncond, mesh=mesh)
+    np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-5)
+
+
+def test_plan_dit_mesh_28_heads():
+    """8 devices with 28 heads -> tp=4 (whole heads) x sp=2 (sequence)."""
+    from kandinsky5_tpu.parallel.sharding import plan_dit_mesh
+
+    mesh = plan_dit_mesh(8, num_heads=28)
+    assert dict(mesh.shape) == {"dp": 1, "sp": 2, "tp": 4}
+    mesh = plan_dit_mesh(8, num_heads=8)
+    assert dict(mesh.shape) == {"dp": 1, "sp": 1, "tp": 8}
+    mesh = plan_dit_mesh(8, num_heads=28, dp=2)
+    assert dict(mesh.shape) == {"dp": 2, "sp": 1, "tp": 4}
