@@ -263,6 +263,70 @@ def nabla_build_mask(q: Array, k: Array, sta: Array, thr: float = 0.9,
     return NablaMask(gmask, kv_inds, kv_nb, q_rows)
 
 
+def _sparse_attention_sharded(q: Array, k: Array, v: Array, m: NablaMask,
+                              mesh, interpret: bool = False) -> Array:
+    """shard_map'd block-sparse attention over ("dp", "sp", "tp"):
+    heads over tp (whole heads with their kv lists), query BANKS over sp
+    (q tokens + list rows sliced together; K/V all-gathered inside so
+    every bank's list can address the full sequence), batch over dp —
+    the same decomposition as ops/attention._sharded_attention, for the
+    10s NABLA path on device counts that don't divide 28 heads.
+
+    Banks are padded to sp-divisibility with zero-count rows (the kernel
+    already treats nb=0 banks as no-ops); the padded q rows are sliced
+    off after.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from kandinsky5_tpu.ops.sparse_pallas import sparse_attention
+
+    b, s, h, d = q.shape
+    rows = m.kv_nb.shape[-1]
+    q_rows = m.q_rows
+    shape = dict(mesh.shape)
+    dp = "dp" if shape.get("dp", 1) > 1 and b % shape["dp"] == 0 else None
+    tp = "tp" if shape.get("tp", 1) > 1 and h % shape["tp"] == 0 else None
+    sp_n = shape.get("sp", 1)
+    sp = "sp" if sp_n > 1 else None
+    kv_inds, kv_nb = m.kv_inds, m.kv_nb
+    pad_rows = 0
+    if sp is not None:
+        pad_rows = (-rows) % sp_n
+        if pad_rows:
+            q = jnp.pad(q, ((0, 0), (0, pad_rows * q_rows * BLOCK),
+                            (0, 0), (0, 0)))
+            kv_inds = jnp.pad(kv_inds, ((0, 0), (0, 0), (0, pad_rows),
+                                        (0, 0)))
+            kv_nb = jnp.pad(kv_nb, ((0, 0), (0, 0), (0, pad_rows)))
+    if dp is None and tp is None and sp is None:
+        return sparse_attention(q, k, v, kv_inds, kv_nb, q_rows=q_rows,
+                                interpret=interpret)
+    # K/V shard over sp only when the sequence splits into whole
+    # 64-token KV blocks per device (all_gather must reconstitute page
+    # boundaries); otherwise they stay replicated along sp and only the
+    # query banks split.
+    kv_seq = (sp if sp is not None and s % sp_n == 0
+              and (s // sp_n) % BLOCK == 0 else None)
+
+    def body(q_l, k_l, v_l, inds_l, nb_l):
+        if kv_seq is not None:
+            k_l = jax.lax.all_gather(k_l, kv_seq, axis=1, tiled=True)
+            v_l = jax.lax.all_gather(v_l, kv_seq, axis=1, tiled=True)
+        return sparse_attention(q_l, k_l, v_l, inds_l, nb_l,
+                                q_rows=q_rows, interpret=interpret)
+
+    from jax.sharding import PartitionSpec as P
+
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(dp, sp, tp, None), P(dp, kv_seq, tp, None),
+                  P(dp, kv_seq, tp, None), P(dp, tp, sp, None),
+                  P(dp, tp, sp)),
+        out_specs=P(dp, sp, tp, None), check_rep=False,
+    )(q, k, v, kv_inds, kv_nb)
+    return out[:, :s] if pad_rows else out
+
+
 def nabla_attention(
     q: Array,
     k: Array,
@@ -299,4 +363,9 @@ def nabla_attention(
     m = shared if shared is not None else nabla_build_mask(
         q, k, sta, thr=thr, q_rows=q_rows, max_density=max_density,
         method=method)
+    from kandinsky5_tpu.parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+        return _sparse_attention_sharded(q, k, v, m, mesh)
     return sparse_attention(q, k, v, m.kv_inds, m.kv_nb, q_rows=m.q_rows)

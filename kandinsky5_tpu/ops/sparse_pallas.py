@@ -213,13 +213,14 @@ def sparse_attention(q: Array, k: Array, v: Array, kv_inds: Array,
     which bound this kernel; the caller supplies the page-unioned mask.
     """
     b, s, h, d = q.shape
-    s1 = s // BLOCK
+    sk = k.shape[1]  # may exceed s: sp-sharded queries against full KV
+    s1 = sk // BLOCK
     page = kv_page_blocks * BLOCK
     n_pages = s1 // kv_page_blocks
-    n_banks = s1 // q_rows
+    n_banks = (s // BLOCK) // q_rows
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
     inds = kv_inds.reshape(b * h, n_banks, n_pages)
     nb = kv_nb.reshape(b * h, 1, n_banks)
     # fold softmax scale + the exp->exp2 base change into q and the

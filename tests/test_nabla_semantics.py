@@ -157,3 +157,32 @@ def test_attention_map_matches_pooled_reference(peaked_qk):
     e = np.exp(s - s.max(axis=-1, keepdims=True))
     ref = e / e.sum(axis=-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(amap), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_sparse_matches_xla(peaked_qk, sta):
+    """_sparse_attention_sharded (heads over tp, q banks over sp with
+    KV all-gather, interpret-mode kernel) == the XLA masked reference —
+    including the odd-bank-count padding path (rows % sp != 0)."""
+    from kandinsky5_tpu.ops.nabla import (
+        _sparse_attention_sharded,
+        nabla_build_mask,
+    )
+    from kandinsky5_tpu.parallel.sharding import make_mesh
+
+    q, k = peaked_qk
+    v = jax.random.normal(jax.random.PRNGKey(9), (1, S, H, D), jnp.float32)
+    m = nabla_build_mask(q, k, sta, q_rows=8)
+    ref = masked_block_attention_xla(q, k, v,
+                                     jnp.repeat(m.gmask, 8, axis=2))
+
+    mesh = make_mesh(n_devices=4, dp=1, sp=2)  # tp=2; 8 banks -> 4/sp
+    out = _sparse_attention_sharded(q, k, v, m, mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    # bank-count padding path: sp=3 does not divide the 8 banks, so the
+    # wrapper pads a zero-count bank row and slices its q tokens off
+    mesh3 = make_mesh(n_devices=6, dp=1, sp=3)  # tp=2
+    out_pad = _sparse_attention_sharded(q, k, v, m, mesh3, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
