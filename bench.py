@@ -22,6 +22,7 @@ Single executions >~1 min crash the tunneled worker, so the 16-NFE run
 is chunked (4x4 steps — same compute, 4 extra host round trips).
 """
 
+import functools
 import gc
 import json
 import sys
@@ -261,9 +262,144 @@ def bench_denoise(quick, extra):
           f"{len(jax.devices())}", file=sys.stderr)
     extra["denoise_s"] = round(t_denoise, 2)
     extra["denoise_s_per_nfe"] = round(t_denoise / num_steps, 3)
+
+    if not quick:
+        # opt-in int8-QK attention (SageAttention-style, ~2x MXU rate on
+        # the QK half, ops/flash_pallas._pack_int8): time the SAME
+        # 16-step trajectory and record its end-to-end latent PSNR vs
+        # the bf16 kernel — the driver sees both the speed and the
+        # accuracy cost of the trade
+        import dataclasses
+
+        from kandinsky5_tpu.utils.metrics import psnr
+
+        spec = dataclasses.replace(spec, attn_impl="flash_int8")
+        t0 = time.perf_counter()
+        lat8 = run_denoise()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lat8 = run_denoise()
+        t_i8 = time.perf_counter() - t0
+        ref = np.asarray(latents.astype(jnp.float32))
+        got = np.asarray(lat8.astype(jnp.float32))
+        rng_v = max(float(ref.max() - ref.min()), 1e-6)
+        p = psnr(got, ref, max_val=rng_v)
+        print(f"# denoise[int8-qk]: compile+first {compile_s:.1f}s, "
+              f"steady {t_i8:.1f}s ({t_i8 / num_steps:.2f} s/NFE); "
+              f"16-step latent PSNR vs bf16 kernel {p:.1f} dB",
+              file=sys.stderr)
+        extra["denoise_int8_s"] = round(t_i8, 2)
+        extra["denoise_int8_s_per_nfe"] = round(t_i8 / num_steps, 3)
+        extra["denoise_int8_vs_bf16_psnr_db"] = round(float(p), 1)
+
     del params
     gc.collect()
     return t_denoise, latents
+
+
+def bench_shard_compute(extra):
+    """Measured per-device DiT block cost under the v5e-8 plan (tp=4 x
+    sp=2, parallel.sharding.plan_dit_mesh(8, 28)).
+
+    Runs the EXACT per-shard workload of one visual block on the real
+    chip: q/k/v projections on the local S/2 sequence at 7 local heads,
+    QK-RMSNorm + RoPE, flash attention of the local S/2 queries against
+    full-S keys/values (the sp all-gather's RESULT, emulated by
+    concatenating the local K/V with itself — the gather's compute cost
+    is zero; its ICI cost is modeled in project_v5e8), attention-out /
+    FF GEMMs at 1/tp width, cross-attention against 256 text keys, and
+    every AdaLN elementwise pass at local width. The same harness also
+    runs at FULL single-chip shapes so the measured scan/prologue
+    residual (denoise_s_per_nfe - 32 x full-block) can be carried into
+    the projection. Upgrades project_v5e8 from 'single-chip rates / 8'
+    to measured per-shard compute + modeled collectives."""
+    from kandinsky5_tpu.models import nn as dnn
+    from kandinsky5_tpu.ops.attention import attention
+
+    D, FF, H, HD, S, LT = 1792, 7168, 28, 64, 47616, 256
+    bf = jnp.bfloat16
+
+    def build(tp, sp):
+        Dl, FFl, Hl, Sh = D // tp, FF // tp, H // tp, S // sp
+        ks = iter(jax.random.split(jax.random.PRNGKey(0), 32))
+
+        def w(*shape, dt=bf):
+            return jax.random.normal(next(ks), shape, dt) * 0.02
+
+        p_sa = {"to_query": {"weight": w(D, Dl), "bias": w(Dl)},
+                "to_key": {"weight": w(D, Dl), "bias": w(Dl)},
+                "to_value": {"weight": w(D, Dl), "bias": w(Dl)},
+                "out_layer": {"weight": w(Dl, D), "bias": w(D)},
+                "query_norm": {"weight": w(HD)},
+                "key_norm": {"weight": w(HD)}}
+        p_ca = {k: {kk: w(*vv.shape, dt=vv.dtype) for kk, vv in v.items()}
+                for k, v in p_sa.items()}
+        p_ff = {"in_layer": {"weight": w(D, FFl)},
+                "out_layer": {"weight": w(FFl, D)}}
+        p_mod = {"out_layer": {"weight": w(512, 9 * D, dt=jnp.float32),
+                               "bias": w(9 * D, dt=jnp.float32)}}
+        x = w(1, Sh, D)
+        text = w(1, LT, D)
+        temb = w(1, 512)
+        cos_h, sin_h = dnn.rope_1d(jnp.arange(Sh), HD)
+        tmask = jnp.ones((1, LT), bool)
+
+        def shard_block(x, impl):
+            mod = dnn.modulation(p_mod, temb)
+            m = [mod[:, i * D:(i + 1) * D][:, None, :] for i in range(9)]
+            (sh_sa, sc_sa, g_sa, sh_ca, sc_ca, g_ca,
+             sh_ff, sc_ff, g_ff) = m
+            out = dnn.apply_scale_shift_norm(x, sc_sa, sh_sa)
+            q, k, v = dnn.qkv_proj(p_sa, out, Hl)
+            q = dnn.apply_rotary(q, cos_h, sin_h)
+            k = dnn.apply_rotary(k, cos_h, sin_h)
+            if sp > 1:  # the sp KV all-gather's result, compute-free
+                k = jnp.concatenate([k] * sp, axis=1)
+                v = jnp.concatenate([v] * sp, axis=1)
+            a = attention(q, k, v, impl=impl)
+            out = dnn.linear(p_sa["out_layer"], a.reshape(1, Sh, Dl))
+            x = dnn.apply_gate_sum(x, out, g_sa)
+            out = dnn.apply_scale_shift_norm(x, sc_ca, sh_ca)
+            qc = dnn.linear(p_ca["to_query"], out).reshape(1, Sh, Hl, HD)
+            kc = dnn.linear(p_ca["to_key"], text).reshape(1, LT, Hl, HD)
+            vc = dnn.linear(p_ca["to_value"], text).reshape(1, LT, Hl, HD)
+            qc = dnn.rms_norm(qc, p_ca["query_norm"]["weight"]).astype(bf)
+            kc = dnn.rms_norm(kc, p_ca["key_norm"]["weight"]).astype(bf)
+            a = attention(qc, kc, vc, kv_mask=tmask, impl=impl)
+            out = dnn.linear(p_ca["out_layer"], a.reshape(1, Sh, Dl))
+            x = dnn.apply_gate_sum(x, out, g_ca)
+            out = dnn.apply_scale_shift_norm(x, sc_ff, sh_ff)
+            out = dnn.feed_forward(p_ff, out)
+            return dnn.apply_gate_sum(x, out, g_ff)
+
+        @functools.partial(jax.jit, static_argnames=("impl", "n"))
+        def chain(x, impl, n):
+            for _ in range(n):
+                x = shard_block(x, impl)
+            return x
+
+        return x, chain
+
+    results = {}
+    for name, tp, sp, impls in [("shard", 4, 2, ("auto", "flash_int8")),
+                                ("full", 1, 1, ("auto",))]:
+        x0, chain = build(tp, sp)
+        n = 8
+        for impl in impls:
+            _sync_scalar(chain(x0, impl, n))  # compile
+            t0 = time.perf_counter()
+            _sync_scalar(chain(x0, impl, n))
+            t = (time.perf_counter() - t0) / n
+            results[(name, impl)] = t
+            print(f"# shard-compute [{name} tp={tp} sp={sp} {impl}]: "
+                  f"{t * 1e3:.1f} ms/block", file=sys.stderr)
+        del x0, chain
+        gc.collect()
+
+    extra["shard_block_ms"] = round(results[("shard", "auto")] * 1e3, 2)
+    extra["shard_block_int8_ms"] = round(
+        results[("shard", "flash_int8")] * 1e3, 2)
+    extra["full_block_ms"] = round(results[("full", "auto")] * 1e3, 2)
 
 
 def bench_vae(latents, extra):
@@ -497,6 +633,7 @@ def project_v5e8(extra):
     """
     S, D, BLOCKS, HEADS, HD = 47616, 1792, 32, 28, 64
     N = 8
+    TP, SP = 4, 2           # plan_dit_mesh(8, 28) -> tp=4 x sp=2
     ICI_BW = 9e10
     ATT_RATE = 81.1e12      # measured flash kernel rate (tools/bench_flash3)
     att_flops = BLOCKS * 4 * S * S * HD * HEADS
@@ -505,9 +642,29 @@ def project_v5e8(extra):
     if nfe_1chip is None:
         return
     lin_1chip = max(nfe_1chip - att_1chip, 0.0)
-    ar_bytes = S * D * 2
-    coll_per_nfe = BLOCKS * 3 * (2 * (N - 1) / N) * ar_bytes / ICI_BW
-    nfe_tp8 = att_1chip / N + lin_1chip / N + coll_per_nfe
+    # collectives under tp=4 x sp=2 (2D torus: both axes have their own
+    # links): per block, 3 row-parallel all-reduces over tp of the
+    # LOCAL (S/sp, D) bf16 output (ring: 2(tp-1)/tp x bytes), plus the
+    # sp KV all-gather (each device receives the other slice of K and V
+    # at local head width D/tp)
+    ar = 3 * (2 * (TP - 1) / TP) * (S // SP * D * 2) / ICI_BW
+    ag = 2 * ((SP - 1) / SP) * (S * (D // TP) * 2) / ICI_BW
+    coll_per_nfe = BLOCKS * (ar + ag)
+    shard_ms = extra.get("shard_block_ms")
+    if shard_ms:
+        # measured per-shard block compute (bench_shard_compute) + the
+        # measured single-chip scan/prologue residual (kept at its
+        # 1-chip value — conservative) + modeled collectives
+        resid = max(nfe_1chip - BLOCKS * extra["full_block_ms"] / 1e3,
+                    0.0)
+        nfe_tp8 = BLOCKS * shard_ms / 1e3 + coll_per_nfe + resid
+        extra["v5e8_residual_s_per_nfe"] = round(resid, 3)
+        i8_ms = extra.get("shard_block_int8_ms")
+        if i8_ms:
+            nfe_i8 = BLOCKS * i8_ms / 1e3 + coll_per_nfe + resid
+            extra["v5e8_denoise_int8_s"] = round(16 * nfe_i8, 2)
+    else:
+        nfe_tp8 = att_1chip / N + lin_1chip / N + coll_per_nfe
     denoise_tp8 = 16 * nfe_tp8
 
     text_tp8 = (extra.get("text_expand_s", 0.0) / N * 1.25
@@ -528,6 +685,9 @@ def project_v5e8(extra):
     extra["v5e8_text_s"] = round(text_tp8, 2)
     extra["v5e8_vae_s"] = round(vae_tp8, 2)
     extra["v5e8_e2e_s"] = round(denoise_tp8 + text_tp8 + vae_tp8, 2)
+    if "v5e8_denoise_int8_s" in extra:
+        extra["v5e8_e2e_int8_s"] = round(
+            extra["v5e8_denoise_int8_s"] + text_tp8 + vae_tp8, 2)
 
     # 10s SFT (100 NFE): take the best realistic-density pair if the
     # density table ran, else the worst-case measured pair
@@ -536,10 +696,11 @@ def project_v5e8(extra):
             else extra.get("10s_sft_nfe_pair_seconds"))
     if pair:
         S10 = 93696
-        att10_flops = BLOCKS * 4 * S10 * S10 * HD * HEADS
-        # sparse path: FLOPs scale with density; collectives with S
-        coll10 = BLOCKS * 3 * (2 * (N - 1) / N) * (S10 * D * 2) / ICI_BW
-        # both forwards of the pair shard over tp=8
+        # same tp=4 x sp=2 mesh (query banks over sp, heads over tp)
+        ar10 = 3 * (2 * (TP - 1) / TP) * (S10 // SP * D * 2) / ICI_BW
+        ag10 = 2 * ((SP - 1) / SP) * (S10 * (D // TP) * 2) / ICI_BW
+        coll10 = BLOCKS * (ar10 + ag10)
+        # both forwards of the pair shard over the 8 devices
         pair_tp8 = pair / N + 2 * coll10
         extra["v5e8_10s_pair_s"] = round(pair_tp8, 2)
         extra["v5e8_10s_e2e_s"] = round(50 * pair_tp8 + text_tp8
@@ -569,6 +730,14 @@ def main():
             gc.collect()
 
     t_denoise, latents = bench_denoise(quick, extra)
+
+    if not quick:
+        try:
+            bench_shard_compute(extra)
+        except Exception as e:  # noqa: BLE001
+            print(f"# shard-compute stage skipped: {type(e).__name__}: "
+                  f"{e}"[:200], file=sys.stderr)
+            gc.collect()
 
     t_vae = 0.0
     if not quick:

@@ -15,6 +15,7 @@ of the QKV projections and avoiding extra transposes outside kernels.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -53,13 +54,20 @@ def dense_attention(
 
 
 def _attention_local(q, k, v, kv_mask, impl):
-    """Single-device dispatch (runs per shard under the sharded path)."""
+    """Single-device dispatch (runs per shard under the sharded path).
+
+    ``impl`` "flash_int8" (or KANDINSKY5_TPU_INT8_QK=1 upgrading "auto"/
+    "flash") selects the SageAttention-style int8-QK kernel — an
+    opt-in accuracy trade (see flash_pallas._pack_int8)."""
     if impl == "dense":
         return dense_attention(q, k, v, kv_mask=kv_mask)
     from kandinsky5_tpu.ops.flash_pallas import flash_attention, flash_supported
 
-    if impl == "flash" or (impl == "auto" and flash_supported(q, k)):
-        return flash_attention(q, k, v, kv_mask=kv_mask)
+    int8_qk = impl == "flash_int8" or bool(os.environ.get(
+        "KANDINSKY5_TPU_INT8_QK"))
+    if impl in ("flash", "flash_int8") or (
+            impl == "auto" and flash_supported(q, k)):
+        return flash_attention(q, k, v, kv_mask=kv_mask, qk_int8=int8_qk)
     return dense_attention(q, k, v, kv_mask=kv_mask)
 
 

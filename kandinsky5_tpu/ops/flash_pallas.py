@@ -37,6 +37,18 @@ Performance notes (measured on v5e, head_dim 64, 47,616 tokens):
     79 TFLOP/s useful at the 5s shape, ~80% of the d=64 ceiling
     (the MXU computes 128-lane contractions regardless, so useful
     throughput is capped at ~98 TFLOP/s for 64-wide heads).
+  * ``qk_int8`` (opt-in) breaks that ceiling SageAttention-style: QK^T
+    runs s8xs8->s32 at the MXU's 2x int8 rate (measured 292 vs 191 T/s
+    raw, tools/bench_int8mm.py), K is mean-centered per head before
+    quantization (softmax-invariant — the dropped q.k_mean term is
+    constant along each score row), Q gets one scale per (batch, head)
+    (rows are QK-RMSNorm'd, so their range is tight), K one scale per
+    token; PV stays bf16. 92 TFLOP/s useful at the 5s shape (block
+    sweep in tools/bench_flash_i8.py: 1536/768 best; 1536/1536 and
+    2048/768 regress — the fp32 score tile outgrows VMEM headroom);
+    per-call max-abs error 0.0024 vs dense where the bf16 kernel's own
+    is 0.0010. s8xs8->f32 accumulation is NOT supported by Mosaic
+    (compile error) — the int32->f32 cast stays in the dequant.
 
 Other lengths are handled by padding K/V to a block multiple and masking
 the tail; padded Q rows compute garbage that is sliced off.
@@ -186,6 +198,61 @@ def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int, dt: int,
                     o_ref[h] = (acc / n).astype(o_ref.dtype)
 
 
+def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int):
+    """SageAttention-style int8 QK^T fixed-shift kernel.
+
+    The QK matmul runs s8xs8->s32 — the v5e MXU's int8 rate is ~2x bf16
+    (measured 292 vs 191 T/s, tools/bench_int8mm.py), so the QK half of
+    attention doubles while PV (bf16, full-width contraction) is
+    unchanged. Q is quantized with one scale per (batch, head); K is
+    mean-centered per head over tokens (softmax-invariant: the dropped
+    q.k_mean term is constant along each score row) and quantized with
+    one scale per token. ``aux`` row 0 carries the per-kv-token dequant
+    coefficient sq*sk_j*log2(e)/sqrt(d); row 1 the fixed shift (already
+    in log2 domain). The softmax normalizer still rides V's ones column
+    (lane ``dt``) and the output is normalized in-kernel, as in
+    _kernel_fixed's "in" mode.
+    """
+    if masked:
+        q_ref, k_ref, v_ref, aux_ref, mask_ref, o_ref, acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, aux_ref, o_ref, acc_ref = refs
+        mask_ref = None
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for h in range(hp):
+        s32 = jax.lax.dot_general(
+            q_ref[h], k_ref[h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        c = aux_ref[h, 0:1, :]       # (1, bk) dequant coefficient
+        # shift is lane-replicated in aux row 1: slicing the full row
+        # keeps the broadcast single-axis (Mosaic rejects a (1,1) ->
+        # (bq, bk) broadcast in both sublanes and lanes at small blocks)
+        bsh = aux_ref[h, 1:2, :]     # (1, bk) log2-domain shift
+        s = s32.astype(jnp.float32) * c - bsh
+        if masked:
+            s = jnp.where(mask_ref[0, 0][None, :] != 0, s, _NEG)
+        p = jnp.exp2(s).astype(v_ref.dtype)
+        acc_ref[h] += jax.lax.dot_general(
+            p, v_ref[h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == num_k - 1)
+    def _finalize():
+        for h in range(hp):
+            acc = acc_ref[h]
+            n = jnp.maximum(acc[:, dt:dt + 1], 1e-30)
+            o_ref[h] = (acc[:, :dt] / n).astype(o_ref.dtype)
+
+
 def _kernel_online(live_ref, q_ref, k_ref, v_ref, mask_ref, qid_ref, kid_ref,
                    shift_ref, o_ref, acc_ref, l_ref, m_ref, *, scale: float,
                    num_k: int, heads: int, masked: bool, ids_masked: bool):
@@ -333,6 +400,115 @@ def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "masked", "block_q", "block_k", "interpret"))
+def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
+                   masked: bool, block_q: int, block_k: int,
+                   interpret: bool = False) -> Array:
+    """(BH, L, 128) int8-QK fixed-shift core (see _kernel_fixed_i8).
+
+    ``q8`` (bh, lq, 128) s8; ``k8`` TRANSPOSED (bh, 128, lk) s8;
+    ``v`` (bh, lk, 128) bf16 augmented with the ones column;
+    ``aux`` (bh, 8, lk) f32 — row 0 dequant coefficients, row 1 shift.
+    """
+    bh, lq, d = q8.shape
+    assert d % 128 == 0 and k8.shape[1] == d and v.shape[2] == d
+    dt = d - 64
+    lk = k8.shape[2]
+    num_k = lk // block_k
+    h = bh // mask.shape[0]
+    # int8 sublane tiles are 32 deep: q blocks must be %32 (block_q is
+    # forced to a 32-multiple by the caller); 4 heads per program as in
+    # the bf16 kernel, gated by the same VMEM estimate
+    hp = 1
+    if block_q * block_k * 4 < 6 * 2**20:
+        for cand in (4, 2):
+            vmem = cand * (2 * block_q * d + 2 * d * block_k
+                           + 4 * block_k * d * 2
+                           + block_q * d * 4 + 2 * block_q * d * 2)
+            if bh % cand == 0 and h % cand == 0 and vmem < 13 * 2**20:
+                hp = cand
+                break
+    grid = (bh // hp, lq // block_q, num_k)
+    kernel = functools.partial(_kernel_fixed_i8, num_k=num_k, masked=masked,
+                               hp=hp, dt=dt)
+    flops = 4 * lq * lk * d * bh
+    in_specs = [
+        pl.BlockSpec((hp, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hp, d, block_k), lambda b, i, j: (b, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hp, block_k, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hp, 8, block_k), lambda b, i, j: (b, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q8, k8, v, aux]
+    if masked:
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b, i, j, hp=hp, h=h: ((b * hp) // h, 0, j),
+                         memory_space=pltpu.VMEM))
+        args.append(mask)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((hp, block_q, dt), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, dt), v.dtype),
+        scratch_shapes=[pltpu.VMEM((hp, block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q8.size + k8.size + 2 * v.size,
+            transcendentals=lq * lk * bh),
+        interpret=interpret,
+    )(*args)
+
+
+def _pack_int8(qf: Array, kf: Array, vf: Array, d: int):
+    """Quantize Q/K for the int8 QK kernel (one fused XLA pre-pass,
+    O(S.D) vs the O(S^2) kernel).
+
+    K is mean-centered over tokens per (batch, head) before quantizing
+    — softmax scores change by a per-row constant q.k_mean, which the
+    softmax cancels (SageAttention's smoothing; K after RoPE has
+    strongly nonzero per-dim means, centering roughly halves the
+    quantization step). Scales: per-(batch, head) for Q (rows are
+    QK-RMSNorm'd so their dynamic range is tight), per-token for K.
+    Returns (q8, k8_transposed, v_augmented, aux) — see _flash_i8_bhld.
+    """
+    bh, lq, _ = qf.shape
+    lk = kf.shape[1]
+    scale = math.log2(math.e) / math.sqrt(d)
+    qf32 = qf.astype(jnp.float32)
+    kf32 = kf.astype(jnp.float32)
+    km = jnp.mean(kf32, axis=1, keepdims=True)
+    kc = kf32 - km
+    sq = jnp.maximum(jnp.max(jnp.abs(qf32), axis=(1, 2)), 1e-6) / 127.0
+    sk = jnp.maximum(jnp.max(jnp.abs(kc), axis=-1), 1e-6) / 127.0
+    q8 = jnp.clip(jnp.round(qf32 / sq[:, None, None]), -127, 127)
+    k8 = jnp.clip(jnp.round(kc / sk[..., None]), -127, 127)
+    pad_q = jnp.zeros((bh, lq, 64), jnp.int8)
+    pad_k = jnp.zeros((bh, lk, 64), jnp.int8)
+    q8 = jnp.concatenate([q8.astype(jnp.int8), pad_q], axis=-1)
+    k8 = jnp.concatenate([k8.astype(jnp.int8), pad_k], axis=-1)
+    k8 = k8.transpose(0, 2, 1)
+    # shift: upper bound on the log2-domain scores of the CENTERED K
+    qn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(qf32), axis=-1)))
+    kn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(kc), axis=-1)))
+    shift = qn * kn * scale
+    coeff = sq[:, None] * sk * scale                     # (bh, lk)
+    aux = jnp.stack([coeff, jnp.broadcast_to(shift, (bh, lk))], axis=1)
+    aux = jnp.pad(aux, ((0, 0), (0, 6), (0, 0)))          # (bh, 8, lk) f32
+    ones = jnp.ones((bh, lk, 1), vf.dtype)
+    zv = jnp.zeros((bh, lk, 63), vf.dtype)
+    va = jnp.concatenate([vf, ones, zv], axis=-1)
+    return q8, k8, va, aux
+
+
+@functools.partial(jax.jit, static_argnames=(
     "masked", "ids_masked", "block_q", "block_k", "interpret"))
 def _flash_bhld(q: Array, k: Array, v: Array, mask: Array, q_ids: Array,
                 kv_ids: Array, shift: Array, masked: bool, ids_masked: bool,
@@ -468,6 +644,7 @@ def flash_attention(
     hp_opt: Optional[int] = None,
     exp_bf16: bool = False,
     interleave: bool = False,
+    qk_int8: bool = False,
     interpret: bool = False,
 ) -> Array:
     """(B, L, H, D) flash attention.
@@ -477,6 +654,9 @@ def flash_attention(
     q_id[i] >= kv_id[j] (causal: ids = arange; VAE frame-causal: ids =
     frame index). ``fixed_shift`` selects the bounded-score softmax —
     only valid when scores are bounded (QK-RMSNorm'd inputs).
+    ``qk_int8`` further quantizes the QK^T matmul to s8xs8->s32
+    (SageAttention-style; ~2x MXU rate on the QK half) — an accuracy
+    trade the caller opts into; see _pack_int8 for the error story.
     """
     b, lq, h, d = q.shape
     lk = k.shape[1]
@@ -489,6 +669,11 @@ def flash_attention(
     # masked garbage; clamp blocks to the 128-rounded true length
     block_q = min(block_q, -(-lq // 128) * 128)
     block_k = min(block_k, -(-lk // 128) * 128)
+    if fixed_shift and qk_int8 and block_q % 32:
+        # int8 sublane tiles are 32 deep -> q blocks must be 32-aligned
+        # (any 128-multiple is); 1536 divides the 5s production length
+        # 47,616 exactly, unlike the bf16 default 1488
+        block_q = min(1536, -(-lq // 128) * 128)
     if not fixed_shift:
         # the online kernel's fp32 score tile + row stats exceed VMEM at
         # the fixed path's wider kv block; wide heads (the VAE's d=512
@@ -516,6 +701,13 @@ def flash_attention(
     # (B, 1, Lk_pad); the kernel index maps divide the bh grid index by
     # the head count, so per-head replication is never materialized
     mask = mask_b[:, None, :]
+
+    if fixed_shift and qk_int8:
+        q8, k8, va, aux = _pack_int8(qf, kf, vf, d)
+        out = _flash_i8_bhld(q8, k8, va, aux, mask, masked,
+                             block_q, block_k, interpret=interpret)
+        out = out[:, :lq_orig]
+        return out.reshape(b, h, lq_orig, d).transpose(0, 2, 1, 3)
 
     if fixed_shift:
         shift = score_bound(qf, kf)

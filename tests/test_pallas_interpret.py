@@ -32,6 +32,23 @@ def test_flash_interpret_matches_dense():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_flash_interpret_int8_qk():
+    """SageAttention-style int8 QK path: quantization error stays small
+    for QK-RMSNorm'd inputs (the DiT's attention regime), mask honored."""
+    q, k, v = _qkv(jax.random.PRNGKey(7), 2, 512, 2, 64)
+    q = q / jnp.sqrt(jnp.mean(jnp.square(q), axis=-1, keepdims=True))
+    k = k / jnp.sqrt(jnp.mean(jnp.square(k), axis=-1, keepdims=True))
+    ref = dense_attention(q, k, v)
+    out = flash_attention(q, k, v, qk_int8=True, interpret=True)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 2e-2
+    # masked padded keys stay masked through the quantized path
+    mask = jnp.arange(512)[None, :] < jnp.array([[300], [100]])
+    refm = dense_attention(q, k, v, kv_mask=mask)
+    outm = flash_attention(q, k, v, kv_mask=mask, qk_int8=True,
+                           interpret=True)
+    assert np.max(np.abs(np.asarray(outm) - np.asarray(refm))) < 2e-2
+
+
 def test_flash_interpret_kv_mask():
     q, k, v = _qkv(jax.random.PRNGKey(1), 2, 512, 2, 64)
     mask = jnp.arange(512)[None, :] < jnp.array([[300], [100]])
