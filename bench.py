@@ -214,10 +214,16 @@ def bench_denoise(quick, extra):
     chunk_steps = 2 if quick else 4
     n_chunks = 1 if quick else 4
     num_steps = chunk_steps * n_chunks
+    # the headline measures the PIPELINE DEFAULT: int8-QK flash on a
+    # single TPU chip (pipeline.default_attn_impl; faithful-bf16 path
+    # measured alongside with the latent PSNR between them)
+    from kandinsky5_tpu.pipeline import default_attn_impl
+
+    impl0 = default_attn_impl(n_dev if mesh is not None else 1)
     spec = DenoiseSpec(
         dit_params=cfg, num_steps=num_steps, guidance_weight=1.0,
         scheduler_scale=5.0, scale_factor=(1.0, 2.0, 2.0),
-        attention_type="flash", attn_impl="auto",
+        attention_type="flash", attn_impl=impl0,
     )
 
     rng = np.random.RandomState(0)
@@ -256,41 +262,63 @@ def bench_denoise(quick, extra):
     t0 = time.perf_counter()
     latents = run_denoise()
     t_denoise = time.perf_counter() - t0
-    print(f"# denoise: compile+first {compile_s:.1f}s, steady "
+    print(f"# denoise[{impl0}]: compile+first {compile_s:.1f}s, steady "
           f"{t_denoise:.1f}s ({num_steps} steps, "
           f"{t_denoise / num_steps:.2f} s/NFE); devices="
           f"{len(jax.devices())}", file=sys.stderr)
     extra["denoise_s"] = round(t_denoise, 2)
     extra["denoise_s_per_nfe"] = round(t_denoise / num_steps, 3)
+    extra["denoise_attn_impl"] = impl0
 
-    if not quick:
-        # opt-in int8-QK attention (SageAttention-style, ~2x MXU rate on
-        # the QK half, ops/flash_pallas._pack_int8): time the SAME
-        # 16-step trajectory and record its end-to-end latent PSNR vs
-        # the bf16 kernel — the driver sees both the speed and the
-        # accuracy cost of the trade
+    if not quick and mesh is None and impl0 == "flash_int8":
+        # the faithful bf16 kernel on the SAME 16-step trajectory, and
+        # the latent PSNR between the default and faithful paths — the
+        # driver sees both the speed and the accuracy cost of the
+        # int8-QK default (DEVIATIONS.md)
         import dataclasses
 
         from kandinsky5_tpu.utils.metrics import psnr
 
-        spec = dataclasses.replace(spec, attn_impl="flash_int8")
+        spec = dataclasses.replace(spec, attn_impl="auto")
         t0 = time.perf_counter()
-        lat8 = run_denoise()
+        lat_bf = run_denoise()
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        lat8 = run_denoise()
-        t_i8 = time.perf_counter() - t0
-        ref = np.asarray(latents.astype(jnp.float32))
-        got = np.asarray(lat8.astype(jnp.float32))
+        lat_bf = run_denoise()
+        t_bf = time.perf_counter() - t0
+        ref = np.asarray(lat_bf.astype(jnp.float32))
+        got = np.asarray(latents.astype(jnp.float32))
         rng_v = max(float(ref.max() - ref.min()), 1e-6)
         p = psnr(got, ref, max_val=rng_v)
-        print(f"# denoise[int8-qk]: compile+first {compile_s:.1f}s, "
-              f"steady {t_i8:.1f}s ({t_i8 / num_steps:.2f} s/NFE); "
-              f"16-step latent PSNR vs bf16 kernel {p:.1f} dB",
-              file=sys.stderr)
-        extra["denoise_int8_s"] = round(t_i8, 2)
-        extra["denoise_int8_s_per_nfe"] = round(t_i8 / num_steps, 3)
+        print(f"# denoise[bf16 faithful]: compile+first {compile_s:.1f}s, "
+              f"steady {t_bf:.1f}s ({t_bf / num_steps:.2f} s/NFE); "
+              f"int8-QK latent PSNR vs bf16 {p:.1f} dB", file=sys.stderr)
+        extra["denoise_bf16_s"] = round(t_bf, 2)
+        extra["denoise_bf16_s_per_nfe"] = round(t_bf / num_steps, 3)
         extra["denoise_int8_vs_bf16_psnr_db"] = round(float(p), 1)
+
+        # all-int8: W8A8 projections (models/dit.py:quantize_dit_params)
+        # on top of the int8-QK kernel — the opportunistic single-chip
+        # floor, OPT-IN (KANDINSKY5_TPU_INT8_LINEAR), with its accuracy
+        # cost on the same trajectory
+        from kandinsky5_tpu.models.dit import quantize_dit_params
+
+        spec = dataclasses.replace(spec, attn_impl="flash_int8")
+        params = quantize_dit_params(params)
+        t0 = time.perf_counter()
+        lat_q = run_denoise()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lat_q = run_denoise()
+        t_q = time.perf_counter() - t0
+        got = np.asarray(lat_q.astype(jnp.float32))
+        p = psnr(got, ref, max_val=rng_v)
+        print(f"# denoise[all-int8]: compile+first {compile_s:.1f}s, "
+              f"steady {t_q:.1f}s ({t_q / num_steps:.2f} s/NFE); "
+              f"16-step latent PSNR vs bf16 {p:.1f} dB", file=sys.stderr)
+        extra["denoise_allint8_s"] = round(t_q, 2)
+        extra["denoise_allint8_s_per_nfe"] = round(t_q / num_steps, 3)
+        extra["denoise_allint8_vs_bf16_psnr_db"] = round(float(p), 1)
 
     del params
     gc.collect()
@@ -638,7 +666,11 @@ def project_v5e8(extra):
     ATT_RATE = 81.1e12      # measured flash kernel rate (tools/bench_flash3)
     att_flops = BLOCKS * 4 * S * S * HD * HEADS
     att_1chip = att_flops / ATT_RATE
-    nfe_1chip = extra.get("denoise_s_per_nfe")
+    # the projection's faithful path keys off the bf16 kernel; when the
+    # headline ran the int8-QK default, the bf16 number is the
+    # companion measurement
+    nfe_1chip = extra.get("denoise_bf16_s_per_nfe",
+                          extra.get("denoise_s_per_nfe"))
     if nfe_1chip is None:
         return
     lin_1chip = max(nfe_1chip - att_1chip, 0.0)

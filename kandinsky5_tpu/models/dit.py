@@ -451,3 +451,29 @@ def fast_init_dit_params(key, cfg: DiTParams, dtype=jnp.bfloat16,
 
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def quantize_dit_params(params) -> dict:
+    """W8A8-quantize the visual blocks' projection weights (self/cross
+    attention QKV + out, FF in/out — the ~162 TFLOP/NFE of GEMMs that
+    dominate non-attention denoise time). Norms, modulations,
+    embeddings and the text blocks stay bf16. Inference-only opt-in
+    (KANDINSKY5_TPU_INT8_LINEAR via the pipeline; accuracy recorded by
+    bench.py as latent PSNR vs the bf16 path). TP sharding of the
+    quantized tree is handled by
+    parallel.sharding._adapt_quantized_specs."""
+    from kandinsky5_tpu.models.nn import quantize_linear
+
+    out = dict(params)
+    vb = dict(params["visual_transformer_blocks"])
+    for attn_key in ("self_attention", "cross_attention"):
+        blk = dict(vb[attn_key])
+        for proj in ("to_query", "to_key", "to_value", "out_layer"):
+            blk[proj] = quantize_linear(blk[proj])
+        vb[attn_key] = blk
+    ff = dict(vb["feed_forward"])
+    for proj in ("in_layer", "out_layer"):
+        ff[proj] = quantize_linear(ff[proj])
+    vb["feed_forward"] = ff
+    out["visual_transformer_blocks"] = vb
+    return out

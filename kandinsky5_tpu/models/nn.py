@@ -34,7 +34,13 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 def linear(p, x: Array, *, dtype=None) -> Array:
-    """y = x @ W (+ b). W stored (in, out)."""
+    """y = x @ W (+ b). W stored (in, out).
+
+    Params produced by :func:`quantize_linear` (key ``weight_i8``) take
+    the W8A8 dynamic-quantization path: the MXU runs int8 at 2x the
+    bf16 rate, so the DiT's ~162 TFLOP/NFE of projections halve."""
+    if "weight_i8" in p:
+        return _linear_i8(p, x)
     w = p["weight"]
     if dtype is not None:
         x = x.astype(dtype)
@@ -43,6 +49,41 @@ def linear(p, x: Array, *, dtype=None) -> Array:
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype if dtype is None else dtype)
+
+
+def _linear_i8(p, x: Array) -> Array:
+    """W8A8 GEMM: per-token dynamic activation scales x per-out-channel
+    weight scales (the standard symmetric-int8 recipe). s8xs8->s32 on
+    the MXU; dequant is one fused rank-1 multiply."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-6) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x8, p["weight_i8"],
+        dimension_numbers=(((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sx * p["w_scale"]
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_linear(p) -> dict:
+    """bf16 linear params -> W8A8 params consumed by :func:`linear`.
+
+    Weights quantize symmetrically per OUT channel (reduce over the
+    ``in`` axis, which is axis -2 in the (in, out) layout — leading
+    stacked-block axes pass through, so scan-stacked DiT blocks
+    quantize in one call)."""
+    w = p["weight"].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=-2, keepdims=True),
+                    1e-6) * (1.0 / 127.0)
+    w8 = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    out = {"weight_i8": w8, "w_scale": jnp.squeeze(s, axis=-2)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
 
 
 def layer_norm(x: Array, *, weight=None, bias=None, eps=LAYERNORM_EPS) -> Array:

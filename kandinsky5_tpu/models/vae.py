@@ -498,6 +498,12 @@ class HunyuanVideoVAE:
                     axis=0)
             tiles = jax.device_put(tiles, NamedSharding(self.mesh, P("dp")))
             decoded_all = _decode_tile(self.params, tiles)
+            # one explicit gather off the mesh: the blend loop below is
+            # cheap + sequential, and running it eagerly on slices of a
+            # dp-sharded array would issue dozens of tiny multi-device
+            # ops (observed to wedge XLA:CPU's collective rendezvous in
+            # long-lived processes; on TPU they'd be pointless ICI hops)
+            decoded_all = jax.device_get(decoded_all)
             rows = []
             idx = 0
             for _ in i_starts:
@@ -567,6 +573,9 @@ class HunyuanVideoVAE:
                     axis=0)
             tiles = jax.device_put(tiles, NamedSharding(self.mesh, P("dp")))
             decoded_all = _decode_tile(self.params, tiles)
+            # gather once before the sequential blend (see
+            # _spatial_tiled_decode's mesh branch for why)
+            decoded_all = jax.device_get(decoded_all)
             decoded_by_start = {
                 i: decoded_all[j * b:(j + 1) * b] for j, i in enumerate(full)}
             row = []

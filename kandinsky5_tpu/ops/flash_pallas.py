@@ -49,6 +49,14 @@ Performance notes (measured on v5e, head_dim 64, 47,616 tokens):
     per-call max-abs error 0.0024 vs dense where the bf16 kernel's own
     is 0.0010. s8xs8->f32 accumulation is NOT supported by Mosaic
     (compile error) — the int32->f32 cast stays in the dequant.
+  * ``pv_int8`` (SageAttention2-style int8 PV with per-row log2-domain
+    P scales + per-channel V scales) is a measured NEGATIVE on v5e at
+    this shape: 88.8-90.6 TFLOP/s vs int8-QK's 92.1 — with QK already
+    int8 the kernel is VPU-bound (exp2 + quantize passes), so halving
+    PV's MXU time buys nothing and the extra round/cast/dequant passes
+    cost ~4%. Accuracy also drops (max-abs 0.013: int8 V's uniform
+    step is ~0.5*sv on peaked rows). Kept as an opt-in for shapes/
+    hardware where the MXU dominates.
 
 Other lengths are handled by padding K/V to a block multiple and masking
 the tail; padded Q rows compute garbage that is sliced off.
@@ -198,7 +206,11 @@ def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int, dt: int,
                     o_ref[h] = (acc / n).astype(o_ref.dtype)
 
 
-def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int):
+_LOG2_127 = math.log2(127.0)
+
+
+def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int,
+                     pv8: bool = False):
     """SageAttention-style int8 QK^T fixed-shift kernel.
 
     The QK matmul runs s8xs8->s32 — the v5e MXU's int8 rate is ~2x bf16
@@ -212,8 +224,26 @@ def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int):
     in log2 domain). The softmax normalizer still rides V's ones column
     (lane ``dt``) and the output is normalized in-kernel, as in
     _kernel_fixed's "in" mode.
+
+    ``pv8`` additionally runs PV at s8xs8->s32 (SageAttention2-style):
+    the softmax weights are quantized PER SCORE TILE in the log2 domain
+    — p8 = round(exp2(s - m)) with m = max(s) - log2(127), so the
+    tile's largest weight maps to 127 regardless of how diffuse the
+    attention is (a fixed 1/127 step against the global bound would
+    drown diffuse rows, the regime random-weight benches live in). V is
+    quantized per output channel outside the kernel; ``svec`` carries
+    the per-channel dequant scales (the ones/normalizer column's slot
+    holds exactly 1/127). Per-tile dequant is one rank-1 f32 multiply
+    folded into the accumulate.
     """
-    if masked:
+    if pv8:
+        if masked:
+            (q_ref, k_ref, v_ref, aux_ref, svec_ref, mask_ref,
+             o_ref, acc_ref) = refs
+        else:
+            q_ref, k_ref, v_ref, aux_ref, svec_ref, o_ref, acc_ref = refs
+            mask_ref = None
+    elif masked:
         q_ref, k_ref, v_ref, aux_ref, mask_ref, o_ref, acc_ref = refs
     else:
         q_ref, k_ref, v_ref, aux_ref, o_ref, acc_ref = refs
@@ -238,12 +268,28 @@ def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int):
         s = s32.astype(jnp.float32) * c - bsh
         if masked:
             s = jnp.where(mask_ref[0, 0][None, :] != 0, s, _NEG)
-        p = jnp.exp2(s).astype(v_ref.dtype)
-        acc_ref[h] += jax.lax.dot_general(
-            p, v_ref[h],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if pv8:
+            # per-ROW log2-domain quantization: each row's in-tile max
+            # maps to 127 (a tile-wide scalar max crushes diffuse rows
+            # that share a tile with a peaked one — measured 10x worse);
+            # an all-masked row gives m = _NEG - log2(127) and a zero
+            # dequant factor exp2(m), so its garbage p8 is inert
+            m = jnp.max(s, axis=1, keepdims=True) - _LOG2_127
+            p8 = jnp.round(jnp.exp2(s - m)).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p8, v_ref[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc_ref[h] += (pv.astype(jnp.float32)
+                           * (jnp.exp2(m) * svec_ref[h, 0:1, :]))
+        else:
+            p = jnp.exp2(s).astype(v_ref.dtype)
+            acc_ref[h] += jax.lax.dot_general(
+                p, v_ref[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(j == num_k - 1)
     def _finalize():
@@ -403,13 +449,17 @@ def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
     "masked", "block_q", "block_k", "interpret"))
 def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
                    masked: bool, block_q: int, block_k: int,
+                   svec: Optional[Array] = None,
                    interpret: bool = False) -> Array:
     """(BH, L, 128) int8-QK fixed-shift core (see _kernel_fixed_i8).
 
     ``q8`` (bh, lq, 128) s8; ``k8`` TRANSPOSED (bh, 128, lk) s8;
-    ``v`` (bh, lk, 128) bf16 augmented with the ones column;
+    ``v`` (bh, lk, 128) bf16 augmented with the ones column — or s8
+    when ``svec`` (bh, 8, 128) per-channel dequant scales are passed
+    (the int8-PV mode, see the kernel's ``pv8`` docstring);
     ``aux`` (bh, 8, lk) f32 — row 0 dequant coefficients, row 1 shift.
     """
+    pv8 = svec is not None
     bh, lq, d = q8.shape
     assert d % 128 == 0 and k8.shape[1] == d and v.shape[2] == d
     dt = d - 64
@@ -419,18 +469,19 @@ def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
     # int8 sublane tiles are 32 deep: q blocks must be %32 (block_q is
     # forced to a 32-multiple by the caller); 4 heads per program as in
     # the bf16 kernel, gated by the same VMEM estimate
+    vb = 1 if pv8 else 2  # V bytes/elem
     hp = 1
     if block_q * block_k * 4 < 6 * 2**20:
         for cand in (4, 2):
             vmem = cand * (2 * block_q * d + 2 * d * block_k
-                           + 4 * block_k * d * 2
+                           + 2 * block_k * d * vb
                            + block_q * d * 4 + 2 * block_q * d * 2)
             if bh % cand == 0 and h % cand == 0 and vmem < 13 * 2**20:
                 hp = cand
                 break
     grid = (bh // hp, lq // block_q, num_k)
     kernel = functools.partial(_kernel_fixed_i8, num_k=num_k, masked=masked,
-                               hp=hp, dt=dt)
+                               hp=hp, dt=dt, pv8=pv8)
     flops = 4 * lq * lk * d * bh
     in_specs = [
         pl.BlockSpec((hp, block_q, d), lambda b, i, j: (b, i, 0),
@@ -443,6 +494,11 @@ def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
                      memory_space=pltpu.VMEM),
     ]
     args = [q8, k8, v, aux]
+    if pv8:
+        in_specs.append(
+            pl.BlockSpec((hp, 8, 128), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(svec)
     if masked:
         in_specs.append(
             pl.BlockSpec((1, 1, block_k),
@@ -455,7 +511,8 @@ def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((hp, block_q, dt), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lq, dt), v.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (bh, lq, dt), jnp.bfloat16 if pv8 else v.dtype),
         scratch_shapes=[pltpu.VMEM((hp, block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -467,7 +524,7 @@ def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
     )(*args)
 
 
-def _pack_int8(qf: Array, kf: Array, vf: Array, d: int):
+def _pack_int8(qf: Array, kf: Array, vf: Array, d: int, pv8: bool = False):
     """Quantize Q/K for the int8 QK kernel (one fused XLA pre-pass,
     O(S.D) vs the O(S^2) kernel).
 
@@ -502,10 +559,26 @@ def _pack_int8(qf: Array, kf: Array, vf: Array, d: int):
     coeff = sq[:, None] * sk * scale                     # (bh, lk)
     aux = jnp.stack([coeff, jnp.broadcast_to(shift, (bh, lk))], axis=1)
     aux = jnp.pad(aux, ((0, 0), (0, 6), (0, 0)))          # (bh, 8, lk) f32
+    if pv8:
+        # per-out-channel V quantization; the ones/normalizer column is
+        # stored as exactly 127 with scale 1/127 (svec's slot), so the
+        # softmax row sum still rides lane d losslessly
+        vf32 = vf.astype(jnp.float32)
+        sv = jnp.maximum(jnp.max(jnp.abs(vf32), axis=1), 1e-6) / 127.0
+        v8 = jnp.clip(jnp.round(vf32 / sv[:, None, :]),
+                      -127, 127).astype(jnp.int8)
+        ones8 = jnp.full((bh, lk, 1), 127, jnp.int8)
+        zv8 = jnp.zeros((bh, lk, 63), jnp.int8)
+        va = jnp.concatenate([v8, ones8, zv8], axis=-1)
+        svec = jnp.concatenate(
+            [sv, jnp.full((bh, 1), 1.0 / 127.0, jnp.float32),
+             jnp.ones((bh, 63), jnp.float32)], axis=-1)
+        svec = jnp.broadcast_to(svec[:, None, :], (bh, 8, 128))
+        return q8, k8, va, aux, svec
     ones = jnp.ones((bh, lk, 1), vf.dtype)
     zv = jnp.zeros((bh, lk, 63), vf.dtype)
     va = jnp.concatenate([vf, ones, zv], axis=-1)
-    return q8, k8, va, aux
+    return q8, k8, va, aux, None
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -645,6 +718,7 @@ def flash_attention(
     exp_bf16: bool = False,
     interleave: bool = False,
     qk_int8: bool = False,
+    pv_int8: bool = False,
     interpret: bool = False,
 ) -> Array:
     """(B, L, H, D) flash attention.
@@ -657,6 +731,9 @@ def flash_attention(
     ``qk_int8`` further quantizes the QK^T matmul to s8xs8->s32
     (SageAttention-style; ~2x MXU rate on the QK half) — an accuracy
     trade the caller opts into; see _pack_int8 for the error story.
+    ``pv_int8`` (implies qk_int8) additionally quantizes PV with
+    per-score-tile log2-domain P scales + per-channel V scales
+    (SageAttention2-style) — see _kernel_fixed_i8's ``pv8``.
     """
     b, lq, h, d = q.shape
     lk = k.shape[1]
@@ -669,6 +746,7 @@ def flash_attention(
     # masked garbage; clamp blocks to the 128-rounded true length
     block_q = min(block_q, -(-lq // 128) * 128)
     block_k = min(block_k, -(-lk // 128) * 128)
+    qk_int8 = qk_int8 or pv_int8
     if fixed_shift and qk_int8 and block_q % 32:
         # int8 sublane tiles are 32 deep -> q blocks must be 32-aligned
         # (any 128-multiple is); 1536 divides the 5s production length
@@ -703,9 +781,10 @@ def flash_attention(
     mask = mask_b[:, None, :]
 
     if fixed_shift and qk_int8:
-        q8, k8, va, aux = _pack_int8(qf, kf, vf, d)
+        q8, k8, va, aux, svec = _pack_int8(qf, kf, vf, d, pv8=pv_int8)
         out = _flash_i8_bhld(q8, k8, va, aux, mask, masked,
-                             block_q, block_k, interpret=interpret)
+                             block_q, block_k, svec=svec,
+                             interpret=interpret)
         out = out[:, :lq_orig]
         return out.reshape(b, h, lq_orig, d).transpose(0, 2, 1, 3)
 

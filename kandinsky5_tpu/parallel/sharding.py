@@ -159,9 +159,29 @@ def dit_param_specs(mesh: Mesh) -> dict:
     }
 
 
+def _adapt_quantized_specs(params, specs):
+    """Match a spec tree to a W8A8-quantized param tree
+    (models/nn.py:quantize_linear): ``weight_i8`` keeps the weight's
+    spec; ``w_scale`` (per-out-channel, weight.shape minus the ``in``
+    axis) keeps the weight spec minus its -2 entry — col-parallel
+    scales shard with their columns, row-parallel scales replicate."""
+    if isinstance(params, dict):
+        if "weight_i8" in params:
+            wspec = tuple(specs["weight"])
+            out = {"weight_i8": specs["weight"],
+                   "w_scale": P(*(wspec[:-2] + wspec[-1:]))}
+            if "bias" in params:
+                out["bias"] = specs["bias"]
+            return out
+        return {k: _adapt_quantized_specs(params[k], specs[k])
+                for k in params}
+    return specs
+
+
 def shard_dit_params(params: dict, mesh: Mesh) -> dict:
-    """Place a DiT param pytree onto the mesh with TP shardings."""
-    specs = dit_param_specs(mesh)
+    """Place a DiT param pytree onto the mesh with TP shardings.
+    Handles both bf16 and W8A8-quantized (quantize_dit_params) trees."""
+    specs = _adapt_quantized_specs(params, dit_param_specs(mesh))
 
     def place(p, spec):
         return jax.device_put(p, NamedSharding(mesh, spec))

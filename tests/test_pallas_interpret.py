@@ -49,6 +49,23 @@ def test_flash_interpret_int8_qk():
     assert np.max(np.abs(np.asarray(outm) - np.asarray(refm))) < 2e-2
 
 
+def test_flash_interpret_int8_pv():
+    """int8-PV mode (opt-in; a measured perf negative on v5e — kept for
+    MXU-bound shapes): per-row log2-domain P scales keep diffuse rows
+    accurate, per-channel V scales bound the output error, masks hold."""
+    q, k, v = _qkv(jax.random.PRNGKey(9), 2, 512, 2, 64)
+    q = q / jnp.sqrt(jnp.mean(jnp.square(q), axis=-1, keepdims=True))
+    k = k / jnp.sqrt(jnp.mean(jnp.square(k), axis=-1, keepdims=True))
+    ref = dense_attention(q, k, v)
+    out = flash_attention(q, k, v, pv_int8=True, interpret=True)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 4e-2
+    mask = jnp.arange(512)[None, :] < jnp.array([[300], [100]])
+    refm = dense_attention(q, k, v, kv_mask=mask)
+    outm = flash_attention(q, k, v, kv_mask=mask, pv_int8=True,
+                           interpret=True)
+    assert np.max(np.abs(np.asarray(outm) - np.asarray(refm))) < 4e-2
+
+
 def test_flash_interpret_kv_mask():
     q, k, v = _qkv(jax.random.PRNGKey(1), 2, 512, 2, 64)
     mask = jnp.arange(512)[None, :] < jnp.array([[300], [100]])

@@ -51,7 +51,8 @@ def main():
     Sa = 2048
     qa, ka, va = q[:, :Sa], k[:, :Sa], v[:, :Sa]
     ref = np.asarray(dense_attention(qa, ka, va), np.float32)
-    for name, kw in [("bf16", {}), ("int8", dict(qk_int8=True))]:
+    for name, kw in [("bf16", {}), ("int8", dict(qk_int8=True)),
+                     ("int8pv", dict(pv_int8=True))]:
         out = np.asarray(
             flash_attention(qa, ka, va, **kw), np.float32)
         err = np.abs(out - ref)
@@ -66,7 +67,13 @@ def main():
              ("int8 1024/1024", dict(qk_int8=True, block_q=1024,
                                      block_k=1024)),
              ("int8 2048/768", dict(qk_int8=True, block_q=2048)),
-             ("int8 3072/768", dict(qk_int8=True, block_q=3072))]
+             ("int8 3072/768", dict(qk_int8=True, block_q=3072)),
+             ("int8pv 1536/768", dict(pv_int8=True)),
+             ("int8pv 1536/1152", dict(pv_int8=True, block_k=1152)),
+             ("int8pv 1536/1536", dict(pv_int8=True, block_k=1536)),
+             ("int8pv 2048/1024", dict(pv_int8=True, block_q=2048,
+                                       block_k=1024)),
+             ("int8pv 3072/768", dict(pv_int8=True, block_q=3072))]
     for name, kw in cases:
         try:
             t = timeit(flash_attention, q, k, v, **kw)
