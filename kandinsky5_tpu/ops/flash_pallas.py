@@ -57,6 +57,12 @@ Performance notes (measured on v5e, head_dim 64, 47,616 tokens):
     cost ~4%. Accuracy also drops (max-abs 0.013: int8 V's uniform
     step is ~0.5*sv on peaked rows). Kept as an opt-in for shapes/
     hardware where the MXU dominates.
+  * ``exp_bf16`` on the int8 path (bf16 exp2 + no post-cast) is a
+    measured near-wash: 92.3 vs 91.3 TFLOP/s (+1%) at max-abs 0.0037
+    vs 0.0024 — the per-element exp2 width is NOT the VPU bottleneck;
+    the remaining gap to the ~131 int8-QK ceiling is the per-tile
+    QK->dequant->exp2->PV dependency chain itself. Flag kept, off by
+    default.
 
 Other lengths are handled by padding K/V to a block multiple and masking
 the tail; padded Q rows compute garbage that is sliced off.
@@ -210,7 +216,7 @@ _LOG2_127 = math.log2(127.0)
 
 
 def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int,
-                     pv8: bool = False):
+                     pv8: bool = False, exp_bf16: bool = False):
     """SageAttention-style int8 QK^T fixed-shift kernel.
 
     The QK matmul runs s8xs8->s32 — the v5e MXU's int8 rate is ~2x bf16
@@ -284,7 +290,16 @@ def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int,
             acc_ref[h] += (pv.astype(jnp.float32)
                            * (jnp.exp2(m) * svec_ref[h, 0:1, :]))
         else:
-            p = jnp.exp2(s).astype(v_ref.dtype)
+            if exp_bf16:
+                # this kernel is VPU-bound (the MXU halves are int8-fast
+                # already): computing exp2 at bf16 halves the dominant
+                # VPU pass AND drops the f32->bf16 post-cast. exp2's arg
+                # is a log2-domain score <= 0, so bf16's 8 mantissa bits
+                # cost ~0.4% relative on p — measured accuracy recorded
+                # in tools/bench_flash_i8.py
+                p = jnp.exp2(s.astype(jnp.bfloat16))
+            else:
+                p = jnp.exp2(s).astype(v_ref.dtype)
             acc_ref[h] += jax.lax.dot_general(
                 p, v_ref[h],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -446,10 +461,10 @@ def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "masked", "block_q", "block_k", "interpret"))
+    "masked", "block_q", "block_k", "exp_bf16", "interpret"))
 def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
                    masked: bool, block_q: int, block_k: int,
-                   svec: Optional[Array] = None,
+                   svec: Optional[Array] = None, exp_bf16: bool = False,
                    interpret: bool = False) -> Array:
     """(BH, L, 128) int8-QK fixed-shift core (see _kernel_fixed_i8).
 
@@ -481,7 +496,7 @@ def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
                 break
     grid = (bh // hp, lq // block_q, num_k)
     kernel = functools.partial(_kernel_fixed_i8, num_k=num_k, masked=masked,
-                               hp=hp, dt=dt, pv8=pv8)
+                               hp=hp, dt=dt, pv8=pv8, exp_bf16=exp_bf16)
     flops = 4 * lq * lk * d * bh
     in_specs = [
         pl.BlockSpec((hp, block_q, d), lambda b, i, j: (b, i, 0),
@@ -783,7 +798,7 @@ def flash_attention(
     if fixed_shift and qk_int8:
         q8, k8, va, aux, svec = _pack_int8(qf, kf, vf, d, pv8=pv_int8)
         out = _flash_i8_bhld(q8, k8, va, aux, mask, masked,
-                             block_q, block_k, svec=svec,
+                             block_q, block_k, svec=svec, exp_bf16=exp_bf16,
                              interpret=interpret)
         out = out[:, :lq_orig]
         return out.reshape(b, h, lq_orig, d).transpose(0, 2, 1, 3)

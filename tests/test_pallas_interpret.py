@@ -49,6 +49,23 @@ def test_flash_interpret_int8_qk():
     assert np.max(np.abs(np.asarray(outm) - np.asarray(refm))) < 2e-2
 
 
+def test_flash_interpret_int8_qk_exp_bf16():
+    """int8-QK with the bf16 exp2 epilogue (the VPU-bound kernel's
+    cheaper softmax pass): error stays bounded, masks hold."""
+    q, k, v = _qkv(jax.random.PRNGKey(11), 2, 512, 2, 64)
+    q = q / jnp.sqrt(jnp.mean(jnp.square(q), axis=-1, keepdims=True))
+    k = k / jnp.sqrt(jnp.mean(jnp.square(k), axis=-1, keepdims=True))
+    ref = dense_attention(q, k, v)
+    out = flash_attention(q, k, v, qk_int8=True, exp_bf16=True,
+                          interpret=True)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 3e-2
+    mask = jnp.arange(512)[None, :] < jnp.array([[300], [100]])
+    refm = dense_attention(q, k, v, kv_mask=mask)
+    outm = flash_attention(q, k, v, kv_mask=mask, qk_int8=True,
+                           exp_bf16=True, interpret=True)
+    assert np.max(np.abs(np.asarray(outm) - np.asarray(refm))) < 3e-2
+
+
 def test_flash_interpret_int8_pv():
     """int8-PV mode (opt-in; a measured perf negative on v5e — kept for
     MXU-bound shapes): per-row log2-domain P scales keep diffuse rows

@@ -52,6 +52,7 @@ def main():
     qa, ka, va = q[:, :Sa], k[:, :Sa], v[:, :Sa]
     ref = np.asarray(dense_attention(qa, ka, va), np.float32)
     for name, kw in [("bf16", {}), ("int8", dict(qk_int8=True)),
+                     ("int8+ebf16", dict(qk_int8=True, exp_bf16=True)),
                      ("int8pv", dict(pv_int8=True))]:
         out = np.asarray(
             flash_attention(qa, ka, va, **kw), np.float32)
@@ -62,6 +63,11 @@ def main():
 
     cases = [("bf16", {}),
              ("int8 1536/768", dict(qk_int8=True)),
+             ("int8+ebf16 1536/768", dict(qk_int8=True, exp_bf16=True)),
+             ("int8+ebf16 1536/1152", dict(qk_int8=True, exp_bf16=True,
+                                           block_k=1152)),
+             ("int8+ebf16 2048/768", dict(qk_int8=True, exp_bf16=True,
+                                          block_q=2048)),
              ("int8 1536/1152", dict(qk_int8=True, block_k=1152)),
              ("int8 1536/1536", dict(qk_int8=True, block_k=1536)),
              ("int8 1024/1024", dict(qk_int8=True, block_q=1024,
