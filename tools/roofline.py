@@ -122,12 +122,16 @@ def vae_decoder_roofline():
 
 
 def text_rooflines():
-    """Qwen2.5-VL 7B expansion decode + encode: both HBM-bound
-    (one full weight read per generated token / per prefill is the
-    floor; weights ~15.5 GB bf16 telescoped to the text tower)."""
-    qwen_bytes = 7.6e9 * 2            # text tower + lm head, bf16
-    n_new = 128                        # typical expansion length
-    decode_floor = n_new * qwen_bytes / HBM_BW
+    """Qwen2.5-VL 7B expansion decode: HBM-bound — every generated
+    token reads all 28 layers' weights + the lm_head (the embedding
+    table is a one-row gather, not a full read). The bench decodes the
+    full max_new_tokens=256 (random weights never emit EOS)."""
+    h, inter, layers = 3584, 18944, 28
+    per_layer = h * (h + 512 + 512 + h) + 3 * h * inter
+    lm_head = 152064 * h
+    bytes_per_tok = (layers * per_layer + lm_head) * 2   # bf16
+    n_new = 256
+    decode_floor = n_new * bytes_per_tok / HBM_BW
     return {
         "expand_floor_s": decode_floor,
         "expand_floor_int8_s": decode_floor / 2,
