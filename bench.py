@@ -746,6 +746,41 @@ def project_v5e8(extra):
           f"10s e2e {extra.get('v5e8_10s_e2e_s')}s", file=sys.stderr)
 
 
+def emit_sol_fractions(extra):
+    """Speed-of-light fractions: measured stage time vs its analytic
+    hardware floor (tools/roofline.py — MXU rate or HBM bandwidth,
+    whichever walls the stage). Recorded so the driver sees not just
+    the seconds but how much of each stage's remaining gap is physics
+    vs engineering."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "roofline.py")
+    spec = importlib.util.spec_from_file_location("k5_roofline", path)
+    rf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rf)
+    dn = rf.denoise_rooflines()
+    vae = rf.vae_decoder_roofline()
+    txt = rf.text_rooflines()
+
+    def frac(floor, key):
+        m = extra.get(key)
+        return round(floor / m, 3) if m else None
+
+    impl = extra.get("denoise_attn_impl", "auto")
+    dn_floor = (dn["floor_int8qk_s_per_nfe"] if impl == "flash_int8"
+                else dn["floor_bf16_s_per_nfe"]) * rf.NFE
+    out = {
+        "sol_denoise": frac(dn_floor, "denoise_s"),
+        "sol_denoise_bf16": frac(dn["floor_bf16_s_per_nfe"] * rf.NFE,
+                                 "denoise_bf16_s"),
+        "sol_vae_stream": frac(vae["floor_s"], "vae_s"),
+        "sol_text_expand": frac(txt["expand_floor_s"], "text_expand_s"),
+    }
+    extra.update({k: v for k, v in out.items() if v is not None})
+
+
 def main():
     import kandinsky5_tpu  # noqa: F401  enables the persistent compile cache
 
@@ -800,6 +835,11 @@ def main():
             project_v5e8(extra)
         except Exception as e:  # noqa: BLE001
             print(f"# v5e8 projection skipped: {type(e).__name__}: {e}"[:200],
+                  file=sys.stderr)
+        try:
+            emit_sol_fractions(extra)
+        except Exception as e:  # noqa: BLE001
+            print(f"# SoL fractions skipped: {type(e).__name__}: {e}"[:200],
                   file=sys.stderr)
         try:
             with open("BENCH_EXTRA.json", "w") as f:
