@@ -65,9 +65,14 @@ def _attention_local(q, k, v, kv_mask, impl):
 
     int8_qk = impl == "flash_int8" or bool(os.environ.get(
         "KANDINSKY5_TPU_INT8_QK"))
+    # fused Schraudolph exp2 on the int8 kernel (flash_pallas
+    # ``fast_exp``): measured a NEGATIVE on v5e (86.0 vs 88.3 TFLOP/s
+    # same run — TPU exp2 is not the VPU bottleneck), kept opt-in
+    fast_exp = int8_qk and bool(os.environ.get("KANDINSKY5_TPU_FASTEXP"))
     if impl in ("flash", "flash_int8") or (
             impl == "auto" and flash_supported(q, k)):
-        return flash_attention(q, k, v, kv_mask=kv_mask, qk_int8=int8_qk)
+        return flash_attention(q, k, v, kv_mask=kv_mask, qk_int8=int8_qk,
+                               fast_exp=fast_exp)
     return dense_attention(q, k, v, kv_mask=kv_mask)
 
 

@@ -63,6 +63,17 @@ Performance notes (measured on v5e, head_dim 64, 47,616 tokens):
     the remaining gap to the ~131 int8-QK ceiling is the per-tile
     QK->dequant->exp2->PV dependency chain itself. Flag kept, off by
     default.
+  * ``fast_exp`` (fused Schraudolph bit-trick exp2: aux carries the
+    dequant coeff and bias pre-scaled by 2^23, so the whole
+    dequant+exp2 chain is one fma + converts + a bitcast) is ALSO a
+    measured negative: 86.0 vs 88.3 TFLOP/s in the same run — together
+    with exp_bf16's wash this pins the bottleneck on the convert/cast
+    passes and MXU<->VPU serialization, not the exp2 op itself (TPU
+    exp2 is hardware-assisted). s8xs8->f32 MXU accumulation, which
+    would delete the s32->f32 convert, is rejected by Mosaic ("float
+    acc with int lhs"). Flag kept opt-in (KANDINSKY5_TPU_FASTEXP) with
+    interpret-mode accuracy coverage; max rel err ~2% vs int8's ~1.1%
+    (normalizer cancels the mean multiplicative bias).
 
 Other lengths are handled by padding K/V to a block multiple and masking
 the tail; padded Q rows compute garbage that is sliced off.
@@ -213,10 +224,21 @@ def _kernel_fixed(*refs, num_k: int, masked: bool, hp: int, dt: int,
 
 
 _LOG2_127 = math.log2(127.0)
+# Schraudolph fast-exp2 constants (see _kernel_fixed_i8 ``fast_exp``):
+# bitcast(int32((s + BIAS) * 2^23)) == 2^s with the mantissa linearly
+# interpolating between exponent steps. The -0.0432 balances the
+# one-sided linear-interp deficit (2^f <= 1+f on [0,1], max 5.97% at
+# f=0.529) to a symmetric +-3% band; the softmax normalizer rides the
+# SAME approximated weights, so the constant factor 2^-0.0432 and the
+# mean multiplicative bias cancel exactly in the normalized output.
+_FX_SCALE = 8388608.0            # 2^23
+_FX_BIAS = 127.0 - 0.0432
+_FX_MIN = 1.0 * 8388608.0        # biased exponent 1 -> 2^-126 (~0 weight)
 
 
 def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int,
-                     pv8: bool = False, exp_bf16: bool = False):
+                     pv8: bool = False, exp_bf16: bool = False,
+                     fast_exp: bool = False):
     """SageAttention-style int8 QK^T fixed-shift kernel.
 
     The QK matmul runs s8xs8->s32 — the v5e MXU's int8 rate is ~2x bf16
@@ -266,6 +288,29 @@ def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+        if fast_exp and not pv8:
+            # Fused dequant + Schraudolph exp2: aux rows 2/3 carry the
+            # dequant coefficient and (BIAS - shift) pre-scaled by 2^23,
+            # so weight = bitcast(int32(s32*c23 + b23)) is ONE fma + two
+            # converts + a bitcast instead of dequant-fma + the ~8-op
+            # exp2 polynomial — the kernel is VPU-bound on exactly this
+            # chain (module docstring), the MXU halves are untouched.
+            c23 = aux_ref[h, 2:3, :]
+            b23 = aux_ref[h, 3:4, :]
+            si = s32.astype(jnp.float32) * c23 + b23
+            if masked:
+                si = jnp.where(mask_ref[0, 0][None, :] != 0, si, _FX_MIN)
+            # clamp keeps the biased exponent >= 1: scores below -126
+            # (or the masked sentinel) map to 2^-126, an inert weight
+            si = jnp.maximum(si, _FX_MIN)
+            p = jax.lax.bitcast_convert_type(
+                si.astype(jnp.int32), jnp.float32).astype(v_ref.dtype)
+            acc_ref[h] += jax.lax.dot_general(
+                p, v_ref[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            continue
         c = aux_ref[h, 0:1, :]       # (1, bk) dequant coefficient
         # shift is lane-replicated in aux row 1: slicing the full row
         # keeps the broadcast single-axis (Mosaic rejects a (1,1) ->
@@ -461,10 +506,11 @@ def _flash_fixed_bhld(q: Array, k: Array, v: Array, mask: Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "masked", "block_q", "block_k", "exp_bf16", "interpret"))
+    "masked", "block_q", "block_k", "exp_bf16", "fast_exp", "interpret"))
 def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
                    masked: bool, block_q: int, block_k: int,
                    svec: Optional[Array] = None, exp_bf16: bool = False,
+                   fast_exp: bool = False,
                    interpret: bool = False) -> Array:
     """(BH, L, 128) int8-QK fixed-shift core (see _kernel_fixed_i8).
 
@@ -496,7 +542,8 @@ def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
                 break
     grid = (bh // hp, lq // block_q, num_k)
     kernel = functools.partial(_kernel_fixed_i8, num_k=num_k, masked=masked,
-                               hp=hp, dt=dt, pv8=pv8, exp_bf16=exp_bf16)
+                               hp=hp, dt=dt, pv8=pv8, exp_bf16=exp_bf16,
+                               fast_exp=fast_exp)
     flops = 4 * lq * lk * d * bh
     in_specs = [
         pl.BlockSpec((hp, block_q, d), lambda b, i, j: (b, i, 0),
@@ -534,7 +581,7 @@ def _flash_i8_bhld(q8: Array, k8: Array, v: Array, aux: Array, mask: Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=q8.size + k8.size + 2 * v.size,
-            transcendentals=lq * lk * bh),
+            transcendentals=0 if fast_exp else lq * lk * bh),
         interpret=interpret,
     )(*args)
 
@@ -572,8 +619,15 @@ def _pack_int8(qf: Array, kf: Array, vf: Array, d: int, pv8: bool = False):
     kn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(kc), axis=-1)))
     shift = qn * kn * scale
     coeff = sq[:, None] * sk * scale                     # (bh, lk)
-    aux = jnp.stack([coeff, jnp.broadcast_to(shift, (bh, lk))], axis=1)
-    aux = jnp.pad(aux, ((0, 0), (0, 6), (0, 0)))          # (bh, 8, lk) f32
+    # rows 2/3: the same (coeff, shift) pre-fused with the Schraudolph
+    # constants for the kernel's fast_exp path (see _kernel_fixed_i8)
+    aux = jnp.stack([
+        coeff,
+        jnp.broadcast_to(shift, (bh, lk)),
+        coeff * _FX_SCALE,
+        jnp.broadcast_to((_FX_BIAS - shift) * _FX_SCALE, (bh, lk)),
+    ], axis=1)
+    aux = jnp.pad(aux, ((0, 0), (0, 4), (0, 0)))          # (bh, 8, lk) f32
     if pv8:
         # per-out-channel V quantization; the ones/normalizer column is
         # stored as exactly 127 with scale 1/127 (svec's slot), so the
@@ -734,6 +788,7 @@ def flash_attention(
     interleave: bool = False,
     qk_int8: bool = False,
     pv_int8: bool = False,
+    fast_exp: bool = False,
     interpret: bool = False,
 ) -> Array:
     """(B, L, H, D) flash attention.
@@ -749,6 +804,9 @@ def flash_attention(
     ``pv_int8`` (implies qk_int8) additionally quantizes PV with
     per-score-tile log2-domain P scales + per-channel V scales
     (SageAttention2-style) — see _kernel_fixed_i8's ``pv8``.
+    ``fast_exp`` (int8 path only) replaces the exp2 polynomial with the
+    fused Schraudolph bit-trick — +-3% per-weight (normalizer-cancelled
+    in the mean); accuracy is measured live by bench.py's PSNR gate.
     """
     b, lq, h, d = q.shape
     lk = k.shape[1]
@@ -799,6 +857,7 @@ def flash_attention(
         q8, k8, va, aux, svec = _pack_int8(qf, kf, vf, d, pv8=pv_int8)
         out = _flash_i8_bhld(q8, k8, va, aux, mask, masked,
                              block_q, block_k, svec=svec, exp_bf16=exp_bf16,
+                             fast_exp=fast_exp and not pv_int8,
                              interpret=interpret)
         out = out[:, :lq_orig]
         return out.reshape(b, h, lq_orig, d).transpose(0, 2, 1, 3)

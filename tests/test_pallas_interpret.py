@@ -49,6 +49,25 @@ def test_flash_interpret_int8_qk():
     assert np.max(np.abs(np.asarray(outm) - np.asarray(refm))) < 2e-2
 
 
+def test_flash_interpret_int8_qk_fast_exp():
+    """int8-QK with the fused Schraudolph exp2 (opt-in; a measured perf
+    negative on v5e — see flash_pallas docstring): +-3% per softmax
+    weight, mean bias cancelled by the in-kernel normalizer; masked
+    keys map to the inert 2^-126 weight, not garbage."""
+    q, k, v = _qkv(jax.random.PRNGKey(11), 2, 512, 2, 64)
+    q = q / jnp.sqrt(jnp.mean(jnp.square(q), axis=-1, keepdims=True))
+    k = k / jnp.sqrt(jnp.mean(jnp.square(k), axis=-1, keepdims=True))
+    ref = dense_attention(q, k, v)
+    out = flash_attention(q, k, v, qk_int8=True, fast_exp=True,
+                          interpret=True)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 4e-2
+    mask = jnp.arange(512)[None, :] < jnp.array([[300], [100]])
+    refm = dense_attention(q, k, v, kv_mask=mask)
+    outm = flash_attention(q, k, v, kv_mask=mask, qk_int8=True,
+                           fast_exp=True, interpret=True)
+    assert np.max(np.abs(np.asarray(outm) - np.asarray(refm))) < 4e-2
+
+
 def test_flash_interpret_int8_qk_exp_bf16():
     """int8-QK with the bf16 exp2 epilogue (the VPU-bound kernel's
     cheaper softmax pass): error stays bounded, masks hold."""
