@@ -25,6 +25,46 @@ def test_comfyui_nodes_importable_without_host():
         assert name in NODE_DISPLAY_NAME_MAPPINGS
 
 
+def test_comfyui_workflow_json_consistent():
+    """The shipped example workflow graph (examples/
+    comfyui_workflow_t2v.json, the analog of the reference's
+    comfyui/kandisnky5_lite_T2V.json) stays consistent with the node
+    definitions: every K5 node type exists, every link lands on an
+    input of the declared type, and widget counts match the non-link
+    inputs of INPUT_TYPES."""
+    import json
+
+    from kandinsky5_tpu.comfyui_nodes import NODE_CLASS_MAPPINGS
+    from tools.make_comfyui_workflow import LINK_TYPES, build_workflow
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "comfyui_workflow_t2v.json")
+    with open(path) as f:
+        wf = json.load(f)
+    # the checked-in file is exactly what the generator emits
+    assert wf == build_workflow()
+
+    by_id = {n["id"]: n for n in wf["nodes"]}
+    for node in wf["nodes"]:
+        if node["type"] == "SaveAnimatedWEBP":  # comfy-core sink
+            continue
+        cls = NODE_CLASS_MAPPINGS[node["type"]]
+        req = cls.INPUT_TYPES()["required"]
+        link_ins = [n for n, (t, *_) in req.items()
+                    if not isinstance(t, list) and t in LINK_TYPES]
+        assert [i["name"] for i in node["inputs"]] == link_ins
+        assert len(node["widgets_values"]) == len(req) - len(link_ins)
+        assert [o["type"] for o in node["outputs"]] == list(cls.RETURN_TYPES)
+    for lid, src, slot, dst, dslot, ty in wf["links"]:
+        assert by_id[src]["outputs"][slot]["type"] == ty
+        assert by_id[dst]["inputs"][dslot]["type"] == ty
+        assert lid in by_id[src]["outputs"][slot]["links"]
+        assert by_id[dst]["inputs"][dslot]["link"] == lid
+    # the graph terminates in a video sink fed by the VAE decode
+    sink = [n for n in wf["nodes"] if n["type"] == "SaveAnimatedWEBP"]
+    assert len(sink) == 1 and sink[0]["inputs"][0]["link"] is not None
+
+
 def test_comfyui_generate_node_tiny():
     """Drive the Generate node end-to-end with a tiny DiT."""
     from kandinsky5_tpu.comfyui_nodes import Kandinsky5Generate
