@@ -43,9 +43,11 @@ Performance notes (measured on v5e, head_dim 64, 47,616 tokens):
     quantization (softmax-invariant — the dropped q.k_mean term is
     constant along each score row), Q gets one scale per (batch, head)
     (rows are QK-RMSNorm'd, so their range is tight), K one scale per
-    token; PV stays bf16. 92 TFLOP/s useful at the 5s shape (block
-    sweep in tools/bench_flash_i8.py: 1536/768 best; 1536/1536 and
-    2048/768 regress — the fp32 score tile outgrows VMEM headroom);
+    token; PV stays bf16. 95 TFLOP/s useful at the 5s shape (round-3
+    sweeps: (bq, bk) = (1536, 512) best — 95.0 vs 92.6 at the earlier
+    768 default; 384/640/256 kv blocks and bq 1024/1152/1920/2048 all
+    slower; 1536/1536 and 2048/768 regress — the fp32 score tile
+    outgrows VMEM headroom);
     per-call max-abs error 0.0024 vs dense where the bf16 kernel's own
     is 0.0010. s8xs8->f32 accumulation is NOT supported by Mosaic
     (compile error) — the int32->f32 cast stays in the dequant.
@@ -103,6 +105,7 @@ Array = jax.Array
 # row-stat scratch caps its kv block at 512 (VMEM)
 BLOCK_Q = 1488
 BLOCK_K = 768
+BLOCK_K_I8 = 512   # int8-QK path (measured: 95.0 vs 92.6 TFLOP/s at 768)
 BLOCK_K_ONLINE = 512
 _STAT = 128   # lane-width replication for row statistics kept in VMEM
 _NEG = -1e30  # effective -inf that keeps exp() NaN-free on masked rows
@@ -825,6 +828,12 @@ def flash_attention(
         # (any 128-multiple is); 1536 divides the 5s production length
         # 47,616 exactly, unlike the bf16 default 1488
         block_q = min(1536, -(-lq // 128) * 128)
+    if fixed_shift and qk_int8 and block_k == BLOCK_K:
+        # int8 sweep at the 5s shape (round 3): kv block 512 beats the
+        # bf16-tuned 768 (95.0 vs 92.6 TFLOP/s; 384/640/256 and other
+        # bq all slower) — the int8 QK half streams K faster, so the
+        # smaller score tile wins on VPU-chain locality
+        block_k = min(BLOCK_K_I8, -(-lk // 128) * 128)
     if not fixed_shift:
         # the online kernel's fp32 score tile + row stats exceed VMEM at
         # the fixed path's wider kv block; wide heads (the VAE's d=512
