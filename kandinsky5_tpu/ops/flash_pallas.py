@@ -99,7 +99,8 @@ Array = jax.Array
 # heads per program (amortizing per-program overhead) with (1488, 768)
 # blocks and the in-kernel normalize epilogue — 81.1 TFLOP/s useful
 # (round-3 sweep: bk in {896, 1024, 1536} and bq in {744, 1536, 2976}
-# all slower or VMEM-infeasible; exp2-at-bf16 neutral — the VPU pass
+# all slower or VMEM-infeasible, bk 512/640 also slower for bf16 —
+# unlike the int8 path, see BLOCK_K_I8; exp2-at-bf16 neutral — the VPU pass
 # already overlaps the MXU; ~82% of the d=64 ceiling is the measured
 # plateau for this QK->exp2->PV structure). The online kernel's extra
 # row-stat scratch caps its kv block at 512 (VMEM)
