@@ -476,6 +476,36 @@ def bench_vae(latents, extra):
     extra["vae_s"] = round(times["stream"], 2)
     extra["vae_tiled_s"] = round(times["tiled"], 2)
     extra["vae_stream_vs_tiled_psnr_db"] = round(p, 1)
+
+    # Three-way fidelity probe at a mid shape where the UNTILED decoder
+    # fits in HBM (9 latent frames, 256x384 px): both tiled and stream
+    # are approximations of the SAME untiled network, so stream-vs-tiled
+    # alone (above) conflates the tiled path's own blend seams with
+    # streaming drift. This records, on the real chip, how close each
+    # path sits to the true network (tests/test_vae_stream.py measures
+    # the same three-way on CPU at toy shapes). Temporal tiling uses the
+    # 5s default stride (tile 17 / stride 8 frames, models/vae.py OPT).
+    from kandinsky5_tpu.models.vae import conv1x1, decoder_forward
+
+    z9 = z[:, :9, :32, :48]
+    vae._apply_tiling((17, 256, 384), (8, 256, 384))
+    outs = {}
+    outs["tiled"] = vae.decode(z9, opt_tiling=False)
+    outs["stream"] = vae.decode(z9, opt_tiling=False, mode="stream")
+    zq = conv1x1(vae.params["post_quant_conv"], z9)
+    outs["untiled"] = decoder_forward(vae.params["decoder"], zq)
+    sl = {k: np.asarray(v[0, 12:16].astype(jnp.float32))
+          for k, v in outs.items()}
+    del outs
+    gc.collect()
+    rng9 = max(float(sl["untiled"].max() - sl["untiled"].min()), 1e-6)
+    p_su = psnr(sl["stream"], sl["untiled"], max_val=rng9)
+    p_tu = psnr(sl["tiled"], sl["untiled"], max_val=rng9)
+    print(f"# vae three-way probe (9 lat frames, 256x384): "
+          f"stream-vs-untiled {p_su:.1f} dB, tiled-vs-untiled {p_tu:.1f} dB",
+          file=sys.stderr)
+    extra["vae_stream_vs_untiled_psnr_db"] = round(p_su, 1)
+    extra["vae_tiled_vs_untiled_psnr_db"] = round(p_tu, 1)
     del vae
     gc.collect()
     return times["stream"]

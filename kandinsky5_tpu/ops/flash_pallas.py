@@ -106,7 +106,9 @@ Array = jax.Array
 # row-stat scratch caps its kv block at 512 (VMEM)
 BLOCK_Q = 1488
 BLOCK_K = 768
-BLOCK_K_I8 = 512   # int8-QK path (measured: 95.0 vs 92.6 TFLOP/s at 768)
+BLOCK_K_I8 = 512   # int8-QK path (measured: 95.0 vs 92.6 TFLOP/s at 768;
+# hp re-swept at bk=512: hp 2/7/14 and bk 640 all within noise of the
+# auto pick, 93.5-94.4 — heads-per-program is saturated at this block)
 BLOCK_K_ONLINE = 512
 _STAT = 128   # lane-width replication for row statistics kept in VMEM
 _NEG = -1e30  # effective -inf that keeps exp() NaN-free on masked rows
