@@ -149,6 +149,54 @@ def denoise_residual0(spec: DenoiseSpec, noise_shape) -> Tuple[int, int]:
     return b_eff, seq_len
 
 
+def _visual_cond_input(cfg: DiTParams, x: Array, pdtype) -> Array:
+    """[x, zeros, zero-mask] channel concat -> 33 channels when
+    visual_cond (reference generation_utils.py:107-114)."""
+    if cfg.visual_cond:
+        zeros = jnp.zeros_like(x)
+        zmask = jnp.zeros((*x.shape[:-1], 1), x.dtype)
+        model_in = jnp.concatenate([x, zeros, zmask], axis=-1)
+    else:
+        model_in = x
+    return model_in.astype(pdtype)
+
+
+def _dit_call(params, spec: DenoiseSpec, sparse, grid, model_in, text_i,
+              pooled_i, mask_i, t, skip_b, residual_i):
+    """One DiT evaluation with MagCache skip/residual handling — the
+    single body shared by the scanned span and the host-driven
+    one-call path. skip_b: (nb,) bool per-branch skip flags."""
+    cfg = spec.dit_params
+    pdtype = params["visual_embeddings"]["in_layer"]["weight"].dtype
+    to_fractal = sparse is not None
+    nb = model_in.shape[0]
+    time_vec = jnp.full((nb,), t * 1000.0, jnp.float32)
+    visual, text_o, time_embed, rope, _ = dit_prologue(
+        params, cfg, model_in, text_i, pooled_i, time_vec, mask_i,
+        spec.scale_factor, spec.attn_impl, to_fractal)
+
+    def run_blocks(visual_in, res_in):
+        out = dit_visual_blocks(params, cfg, visual_in, text_o, time_embed,
+                                rope, mask_i, spec.attn_impl, sparse)
+        new_res = (out.astype(jnp.float32)
+                   - visual_in.astype(jnp.float32)).astype(pdtype)
+        # per-branch skip: branches flagged skip reuse the cached
+        # residual even when the other branch runs
+        # (reference magcache_utils.py:79-87)
+        sk = skip_b[:, None, None]
+        out = jnp.where(sk, visual_in + res_in, out)
+        new_res = jnp.where(sk, res_in, new_res)
+        return out, new_res
+
+    def skip_blocks(visual_in, res_in):
+        return visual_in + res_in, res_in
+
+    visual, residual_i = jax.lax.cond(
+        ~jnp.all(skip_b), run_blocks, skip_blocks, visual, residual_i)
+    pred = dit_epilogue(params, cfg, visual, time_embed, grid, to_fractal)
+    return pred.astype(jnp.float32), residual_i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spec",),
@@ -193,50 +241,15 @@ def denoise_span(
     grid = (t_lat // cfg.patch_size[0], h_lat // cfg.patch_size[1],
             w_lat // cfg.patch_size[2])
     sparse = _build_sparse(spec, grid)
-    to_fractal = sparse is not None
 
     def dit_call(model_in, text_i, pooled_i, mask_i, t, skip_b, residual_i):
-        """One DiT evaluation with MagCache skip/residual handling."""
-        nb = model_in.shape[0]
-        time_vec = jnp.full((nb,), t * 1000.0, jnp.float32)
-        visual, text_o, time_embed, rope, _ = dit_prologue(
-            params, cfg, model_in, text_i, pooled_i, time_vec, mask_i,
-            spec.scale_factor, spec.attn_impl, to_fractal)
-
-        def run_blocks(visual_in, res_in):
-            out = dit_visual_blocks(params, cfg, visual_in, text_o, time_embed,
-                                    rope, mask_i, spec.attn_impl, sparse)
-            new_res = (out.astype(jnp.float32)
-                       - visual_in.astype(jnp.float32)).astype(pdtype)
-            # per-branch skip: branches flagged skip reuse the cached
-            # residual even when the other branch runs
-            # (reference magcache_utils.py:79-87)
-            sk = skip_b[:, None, None]
-            out = jnp.where(sk, visual_in + res_in, out)
-            new_res = jnp.where(sk, res_in, new_res)
-            return out, new_res
-
-        def skip_blocks(visual_in, res_in):
-            return visual_in + res_in, res_in
-
-        visual, residual_i = jax.lax.cond(
-            ~jnp.all(skip_b), run_blocks, skip_blocks, visual, residual_i)
-        pred = dit_epilogue(params, cfg, visual, time_embed, grid, to_fractal)
-        return pred.astype(jnp.float32), residual_i
+        return _dit_call(params, spec, sparse, grid, model_in, text_i,
+                         pooled_i, mask_i, t, skip_b, residual_i)
 
     def step(carry, xs):
         x, residual = carry
         t, dt, skip = xs
-
-        if cfg.visual_cond:
-            # concat [x, zeros, zero-mask] -> 33 channels
-            # (reference generation_utils.py:107-114)
-            zeros = jnp.zeros_like(x)
-            zmask = jnp.zeros((*x.shape[:-1], 1), x.dtype)
-            model_in = jnp.concatenate([x, zeros, zmask], axis=-1)
-        else:
-            model_in = x
-        model_in = model_in.astype(pdtype)
+        model_in = _visual_cond_input(cfg, x, pdtype)
 
         skip_c = jnp.broadcast_to(skip[0], (batch,))
         skip_u = jnp.broadcast_to(skip[1], (batch,))
@@ -321,38 +334,10 @@ def denoise_one_call(params, spec: DenoiseSpec, x: Array, text: Array,
     grid = (t_lat // cfg.patch_size[0], h_lat // cfg.patch_size[1],
             w_lat // cfg.patch_size[2])
     sparse = _build_sparse(spec, grid)
-    to_fractal = sparse is not None
-
-    if cfg.visual_cond:
-        zeros = jnp.zeros_like(x)
-        zmask = jnp.zeros((*x.shape[:-1], 1), x.dtype)
-        model_in = jnp.concatenate([x, zeros, zmask], axis=-1)
-    else:
-        model_in = x
-    model_in = model_in.astype(pdtype)
-    nb = model_in.shape[0]
-    time_vec = jnp.full((nb,), t * 1000.0, jnp.float32)
-    visual, text_o, time_embed, rope, _ = dit_prologue(
-        params, cfg, model_in, text, pooled, time_vec, mask,
-        spec.scale_factor, spec.attn_impl, to_fractal)
-
-    def run_blocks(visual_in, res_in):
-        out = dit_visual_blocks(params, cfg, visual_in, text_o, time_embed,
-                                rope, mask, spec.attn_impl, sparse)
-        new_res = (out.astype(jnp.float32)
-                   - visual_in.astype(jnp.float32)).astype(pdtype)
-        sk = skip_flag[None, None, None]
-        out = jnp.where(sk, visual_in + res_in, out)
-        new_res = jnp.where(sk, res_in, new_res)
-        return out, new_res
-
-    def skip_blocks(visual_in, res_in):
-        return visual_in + res_in, res_in
-
-    visual, residual = jax.lax.cond(~skip_flag, run_blocks, skip_blocks,
-                                    visual, residual)
-    pred = dit_epilogue(params, cfg, visual, time_embed, grid, to_fractal)
-    return pred.astype(jnp.float32), residual
+    model_in = _visual_cond_input(cfg, x, pdtype)
+    skip_b = jnp.broadcast_to(skip_flag, (model_in.shape[0],))
+    return _dit_call(params, spec, sparse, grid, model_in, text, pooled,
+                     mask, t, skip_b, residual)
 
 
 def denoise_host_loop(
