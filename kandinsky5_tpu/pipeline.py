@@ -219,22 +219,26 @@ class Kandinsky5T2VPipeline:
             self.save(frames, save_path, time_length)
         return frames
 
-    def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
+    def decode_latents(self, latents: jnp.ndarray,
+                       mode: Optional[str] = None) -> np.ndarray:
         """(B, T', H', W', 16) -> (B, T, H, W, 3) uint8 frames.
 
-        Decode mode policy (override: KANDINSKY5_TPU_VAE_DECODE=
-        tiled|stream): on a single device the streaming state-carry
-        decode (models/vae_stream.py) — no overlap recompute (~2x fewer
-        conv FLOPs) and measurably closer to the untiled network than
-        the reference's own tiling (tests/test_vae_stream.py); on a
-        multi-device mesh the faithful tiled path, whose independent
-        temporal tiles dp-batch across chips (streaming is serial in
-        time).
+        Decode mode policy (override: ``mode=`` argument, then
+        KANDINSKY5_TPU_VAE_DECODE=tiled|stream): on a single device the
+        streaming state-carry decode (models/vae_stream.py) — no overlap
+        recompute (~2x fewer conv FLOPs) and measurably closer to the
+        untiled network than the reference's own tiling
+        (tests/test_vae_stream.py); on a multi-device mesh the faithful
+        tiled path, whose independent temporal tiles dp-batch across
+        chips (streaming is serial in time). The parity gate
+        (tools/parity_check.py) passes mode="tiled" explicitly — the
+        reference decodes tiled (reference vae.py:1144-1204).
         """
         if self._vae_store is not None:
             self.vae.params = self._vae_store.stage()
         z = latents / self.vae.scaling_factor
-        video = self.vae.decode(z, mode=self.vae.default_decode_mode())
+        video = self.vae.decode(
+            z, mode=mode or self.vae.default_decode_mode())
         video = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
         video = ((video + 1.0) * 127.5).astype(jnp.uint8)
         out = np.asarray(video)  # forces completion before unstaging

@@ -109,14 +109,39 @@ def make_reference_dump(out_path: str, conf_path: str, prompt: str,
           f"noise={captured['noise'].shape} frames={captured['frames'].shape}")
 
 
-def run_ours(conf_path: str, dump: dict, prompt: str):
+def faithful_spec(spec):
+    """The gate's sampling spec: the bf16 flash kernel, NOT the
+    single-chip int8-QK default (pipeline.default_attn_impl) — the
+    BASELINE.md target is "PSNR vs the PyTorch reference", and the
+    reference computes attention in bf16. The int8-QK and streaming-VAE
+    deltas are measured separately by run_ours (DEVIATIONS.md)."""
+    import dataclasses
+
+    return dataclasses.replace(spec, attn_impl="auto")
+
+
+#: The gate's VAE decode mode. The reference decodes TILED
+#: (reference vae.py:1144-1204); the streaming decoder is a deliberate
+#: deviation whose delta is reported as a secondary number.
+GATE_DECODE_MODE = "tiled"
+
+
+def run_ours(conf_path: str, dump: dict, prompt: str, pipe=None):
+    """Run this framework against a reference dump and report the
+    fidelity gate (>35 dB PSNR, BASELINE.md) through the FAITHFUL paths
+    (bf16 flash attention + tiled VAE decode), then the shipped fast
+    defaults (int8-QK + streaming decode) as separate secondary
+    numbers. ``pipe`` may be injected (selftest path) — by default it
+    is built from the config's checkpoints exactly as production does."""
     import jax.numpy as jnp
 
-    from kandinsky5_tpu.pipeline import get_T2V_pipeline
     from kandinsky5_tpu.sampling import generate_latents
     from kandinsky5_tpu.utils.metrics import latent_stats, psnr
 
-    pipe = get_T2V_pipeline(conf_path=conf_path)
+    if pipe is None:
+        from kandinsky5_tpu.pipeline import get_T2V_pipeline
+
+        pipe = get_T2V_pipeline(conf_path=conf_path)
     prompt = str(dump.get("prompt", prompt))
     negative = str(dump.get("negative", ""))
     cond = pipe.text_embedder.encode([prompt], "video")
@@ -128,26 +153,44 @@ def run_ours(conf_path: str, dump: dict, prompt: str):
             dump["cond_text_embeds"])] - dump["cond_text_embeds"]))
         print(f"text_embeds max err vs reference: {err:.3e}")
 
-    spec = pipe._spec(pipe.conf.model.num_steps,
-                      pipe.conf.model.guidance_weight, 5.0)
+    spec_fast = pipe._spec(pipe.conf.model.num_steps,
+                           pipe.conf.model.guidance_weight, 5.0)
+    spec = faithful_spec(spec_fast)
     noise = jnp.asarray(dump["noise"])
     if noise.ndim == 4:  # reference shape (T, H, W, C) -> batch of 1
         noise = noise[None]
-    latents = generate_latents(
-        pipe.dit_params, spec, noise.shape,
-        {"text_embeds": cond.text_embeds, "pooled_embed": cond.pooled_embed,
-         "mask": cond.mask},
-        {"text_embeds": uncond.text_embeds,
-         "pooled_embed": uncond.pooled_embed, "mask": uncond.mask},
-        seed=0, noise=noise)
+    cond_d = {"text_embeds": cond.text_embeds,
+              "pooled_embed": cond.pooled_embed, "mask": cond.mask}
+    uncond_d = {"text_embeds": uncond.text_embeds,
+                "pooled_embed": uncond.pooled_embed, "mask": uncond.mask}
+    latents = generate_latents(pipe.dit_params, spec, noise.shape,
+                               cond_d, uncond_d, seed=0, noise=noise)
     ref_lat = dump["latents"]
     if ref_lat.ndim == 4:
         ref_lat = ref_lat[None]
-    print("latents:", latent_stats(np.asarray(latents), ref_lat))
-    frames = pipe.decode_latents(latents)
+    print("latents (faithful bf16):",
+          latent_stats(np.asarray(latents), ref_lat))
+    frames = pipe.decode_latents(latents, mode=GATE_DECODE_MODE)
     ref_frames = dump["frames"]
     score = psnr(frames.reshape(ref_frames.shape), ref_frames)
-    print(f"decoded-frame PSNR: {score:.2f} dB (target > 35)")
+    print(f"decoded-frame PSNR [faithful: bf16 flash + tiled decode]: "
+          f"{score:.2f} dB (target > 35)")
+
+    # secondary: the shipped fast defaults, reported as deltas ON TOP of
+    # the gate so an accuracy-traded default can never masquerade as
+    # reference parity (VERDICT r3 weak #3)
+    fast_differs = (spec_fast.attn_impl != spec.attn_impl
+                    or pipe.vae.default_decode_mode() != GATE_DECODE_MODE)
+    if fast_differs:
+        latents_f = generate_latents(pipe.dit_params, spec_fast,
+                                     noise.shape, cond_d, uncond_d,
+                                     seed=0, noise=noise)
+        frames_f = pipe.decode_latents(latents_f)
+        score_f = psnr(frames_f.reshape(ref_frames.shape), ref_frames)
+        print(f"decoded-frame PSNR [fast defaults: "
+              f"{spec_fast.attn_impl} + "
+              f"{pipe.vae.default_decode_mode()} decode]: "
+              f"{score_f:.2f} dB (secondary — deviation cost, not the gate)")
     return score
 
 
