@@ -38,6 +38,20 @@ def main():
 
     from kandinsky5_tpu.pipeline import get_T2V_pipeline
 
+    # provenance: the published MovieGen set's digest (MOVIEGEN_CSV.md);
+    # custom prompt CSVs run fine but are labeled as such
+    import hashlib
+
+    MOVIEGEN_SHA256 = ("93bc42d6c0669b02d63721b3e435d26efe4df382"
+                       "fbd73ea093a9b116ffc59857")
+    with open(args.csv, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    print("csv provenance: "
+          + ("MATCHES the published MovieGen bench set"
+             if digest == MOVIEGEN_SHA256
+             else f"custom prompt set (sha256 {digest[:16]}…, not the "
+                  f"published MovieGen CSV — see benchmark/MOVIEGEN_CSV.md)"))
+
     with open(args.csv) as f:
         rows = list(csv.DictReader(f))
     rows = rows[args.offset:]

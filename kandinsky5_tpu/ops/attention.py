@@ -71,8 +71,13 @@ def _attention_local(q, k, v, kv_mask, impl):
     fast_exp = int8_qk and bool(os.environ.get("KANDINSKY5_TPU_FASTEXP"))
     if impl in ("flash", "flash_int8") or (
             impl == "auto" and flash_supported(q, k)):
+        # an explicitly requested kernel runs in Pallas interpret mode
+        # off-TPU so the virtual CPU mesh (tests, driver dryrun) can
+        # exercise the exact kernel math the chip runs — including
+        # flash_int8 under shard_map (first-class mesh option)
+        interpret = jax.default_backend() not in ("tpu", "axon")
         return flash_attention(q, k, v, kv_mask=kv_mask, qk_int8=int8_qk,
-                               fast_exp=fast_exp)
+                               fast_exp=fast_exp, interpret=interpret)
     return dense_attention(q, k, v, kv_mask=kv_mask)
 
 

@@ -41,9 +41,13 @@ def default_attn_impl(n_dev: int = 1) -> str:
     (ops/flash_pallas): measured 6.37 vs 7.27 s/NFE with a 16-step
     latent PSNR of 82 dB vs the bf16 kernel at the full 2B architecture
     — deep below the 35 dB fidelity gate (DEVIATIONS.md). Faithful bf16
-    via KANDINSKY5_TPU_ATTN=auto (or =flash/dense); meshes keep "auto"
-    (bf16) — int8 under shard_map is exercised only on the virtual CPU
-    mesh so far."""
+    via KANDINSKY5_TPU_ATTN=auto (or =flash/dense). Meshes default to
+    "auto" (bf16, faithful); KANDINSKY5_TPU_ATTN=flash_int8 is the one
+    flag that flips a MESH pipeline to the int8-QK kernel per shard
+    (ops/attention._sharded_attention threads impl into shard_map;
+    parity on the virtual mesh: tests/test_tp_parity.py::
+    test_int8_mesh_matches_single_device; the driver dryrun exercises
+    the same path)."""
     env = os.environ.get("KANDINSKY5_TPU_ATTN")
     if env:
         return env

@@ -169,3 +169,47 @@ def test_plan_dit_mesh_28_heads():
     assert dict(mesh.shape) == {"dp": 1, "sp": 1, "tp": 8}
     mesh = plan_dit_mesh(8, num_heads=28, dp=2)
     assert dict(mesh.shape) == {"dp": 2, "sp": 1, "tp": 4}
+
+
+def test_int8_mesh_matches_single_device():
+    """flash_int8 as a first-class MESH option: the int8-QK Pallas
+    kernel running per shard inside _sharded_attention (heads over tp,
+    query sequence over sp, KV all-gathered) must produce exactly the
+    single-device kernel's output — this is the path a mesh pipeline
+    takes under KANDINSKY5_TPU_ATTN=flash_int8 (pipeline.
+    default_attn_impl), and the configuration the v5e-8 int8 projection
+    cites. Runs the real kernel math via Pallas interpret mode on the
+    virtual CPU mesh (d=64: the int8 fixed-shift layout)."""
+    from kandinsky5_tpu.ops.attention import _attention_local, attention
+
+    rng = np.random.RandomState(3)
+    B, L, H, D = 1, 256, 4, 64
+    q = jnp.asarray(rng.randn(B, L, H, D), jnp.bfloat16) * 0.5
+    k = jnp.asarray(rng.randn(B, L, H, D), jnp.bfloat16) * 0.5
+    v = jnp.asarray(rng.randn(B, L, H, D), jnp.bfloat16)
+
+    from kandinsky5_tpu.ops.attention import dense_attention
+
+    base = np.asarray(_attention_local(q, k, v, None, "flash_int8"),
+                      np.float32)
+    dense = np.asarray(dense_attention(q, k, v), np.float32)
+    mesh = make_mesh(n_devices=4, sp=2)  # tp=2 x sp=2
+    with sharding_ctx(mesh):
+        out = np.asarray(attention(q, k, v, impl="flash_int8"), np.float32)
+    # per-SHARD query quantization scales differ from the single-device
+    # global ones (finer granularity), so outputs agree to int8
+    # resolution rather than bitwise
+    np.testing.assert_allclose(out, base, atol=5e-3)
+    np.testing.assert_allclose(out, dense, atol=0.05)
+
+    # cross-attention (text keys + mask): K/V stay whole per device
+    Lk = 64
+    kc = jnp.asarray(rng.randn(B, Lk, H, D), jnp.bfloat16) * 0.5
+    vc = jnp.asarray(rng.randn(B, Lk, H, D), jnp.bfloat16)
+    mask = jnp.asarray(rng.rand(B, Lk) > 0.3)
+    base = np.asarray(_attention_local(q, kc, vc, mask, "flash_int8"),
+                      np.float32)
+    with sharding_ctx(mesh):
+        out = np.asarray(attention(q, kc, vc, kv_mask=mask,
+                                   impl="flash_int8"), np.float32)
+    np.testing.assert_allclose(out, base, atol=5e-3)
