@@ -33,6 +33,12 @@ class ClipTextConfig:
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
     max_position_embeddings: int = 77
+    # HF CLIPTextModel pooling semantics: configs with the legacy
+    # eos_token_id == 2 (the released CLIP ViT-L/14 config) pool at
+    # argmax(input_ids) — EOT is the largest vocab id and pads are EOT;
+    # newer configs pool at the FIRST position equal to eos_token_id
+    # (transformers modeling_clip.CLIPTextTransformer.forward).
+    eos_token_id: int = 2
 
 
 def _ln(p, x):
@@ -87,8 +93,13 @@ def clip_text_forward(params, cfg: ClipTextConfig, input_ids: Array,
         h = quick_gelu(h)
         x = x + _linear(p["mlp"]["fc2"], h)
     x = _ln(params["final_layer_norm"], x)
-    # pooled at first EOT (= argmax since EOT is the max id and pads are EOT)
-    eot = jnp.argmax(input_ids, axis=-1)
+    if cfg.eos_token_id == 2:
+        # legacy configs (released ViT-L/14): argmax — EOT is the max
+        # id and pads are EOT, so argmax finds the first one
+        eot = jnp.argmax(input_ids, axis=-1)
+    else:
+        eot = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
+                         axis=-1)
     pooled = x[jnp.arange(b), eot]
     return x, pooled
 

@@ -61,6 +61,60 @@ EXPAND_INSTRUCTION = """You are a prompt beautifier that transforms short user v
         Rewrite Prompt: "{}" to get high-quality video generation. Answer only with expanded prompt."""
 
 
+def _read_config_json(checkpoint_path) -> Optional[dict]:
+    import json
+
+    path = os.path.join(str(checkpoint_path), "config.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def qwen_config_from_json(checkpoint_path) -> Optional[QwenTextConfig]:
+    """Build :class:`QwenTextConfig` from an HF checkpoint's config.json.
+    Qwen2.5-VL nests the text dims under ``text_config`` in newer
+    transformers exports and keeps them top-level in older ones; both
+    are accepted. None (-> released 7B defaults) when the file is absent."""
+    raw = _read_config_json(checkpoint_path)
+    if raw is None:
+        return None
+    tc = raw.get("text_config", raw)
+    hidden = int(tc["hidden_size"])
+    heads = int(tc["num_attention_heads"])
+    return QwenTextConfig(
+        vocab_size=int(tc["vocab_size"]),
+        hidden_size=hidden,
+        intermediate_size=int(tc["intermediate_size"]),
+        num_hidden_layers=int(tc["num_hidden_layers"]),
+        num_attention_heads=heads,
+        num_key_value_heads=int(tc.get("num_key_value_heads", heads)),
+        head_dim=int(tc.get("head_dim", hidden // heads)),
+        rms_norm_eps=float(tc.get("rms_norm_eps", 1e-6)),
+        rope_theta=float(tc.get("rope_theta", 1000000.0)),
+        tie_word_embeddings=bool(tc.get("tie_word_embeddings", False)),
+    )
+
+
+def clip_config_from_json(checkpoint_path) -> Optional[ClipTextConfig]:
+    """:class:`ClipTextConfig` from an HF CLIPTextModel config.json
+    (``text_config`` nesting accepted). None -> ViT-L/14 defaults."""
+    raw = _read_config_json(checkpoint_path)
+    if raw is None:
+        return None
+    tc = raw.get("text_config", raw)
+    return ClipTextConfig(
+        vocab_size=int(tc["vocab_size"]),
+        hidden_size=int(tc["hidden_size"]),
+        intermediate_size=int(tc["intermediate_size"]),
+        num_hidden_layers=int(tc["num_hidden_layers"]),
+        num_attention_heads=int(tc["num_attention_heads"]),
+        max_position_embeddings=int(tc.get("max_position_embeddings", 77)),
+        eos_token_id=int(tc.get("eos_token_id", 2)),
+    )
+
+
 @dataclass
 class TextEmbeddings:
     """Padded conditioning bundle (the TPU-shaped analog of the
@@ -89,7 +143,11 @@ class Kandinsky5TextEmbedder:
     @classmethod
     def from_pretrained(cls, conf: TextEmbedderConfig, dtype=jnp.bfloat16):
         """Load weights + tokenizers from the HF checkpoint directories
-        (the reference's download layout, kandinsky/utils.py:75-87)."""
+        (the reference's download layout, kandinsky/utils.py:75-87).
+        Model dimensions come from each directory's ``config.json`` —
+        exactly what HF ``from_pretrained`` reads (reference
+        text_embedders.py:14,56) — falling back to the released 7B /
+        ViT-L defaults when the file is absent."""
         from transformers import AutoTokenizer
 
         from kandinsky5_tpu.checkpoint import (
@@ -104,6 +162,8 @@ class Kandinsky5TextEmbedder:
             conf,
             qwen_params=convert_qwen_state_dict(qwen_sd, dtype=dtype),
             clip_params=convert_clip_state_dict(clip_sd, dtype=jnp.float32),
+            qwen_cfg=qwen_config_from_json(conf.qwen.checkpoint_path),
+            clip_cfg=clip_config_from_json(conf.clip.checkpoint_path),
             qwen_tokenizer=AutoTokenizer.from_pretrained(
                 conf.qwen.checkpoint_path),
             clip_tokenizer=AutoTokenizer.from_pretrained(
