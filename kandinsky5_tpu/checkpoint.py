@@ -168,6 +168,37 @@ def convert_qwen_state_dict(state_dict: Mapping[str, np.ndarray],
     return jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), tree)
 
 
+def convert_qwen_vision_state_dict(state_dict: Mapping[str, np.ndarray],
+                                   dtype=jnp.bfloat16) -> dict:
+    """HF Qwen2.5-VL ``visual.*`` weights -> text/qwen_vision.py pytree.
+
+    The text converter (convert_qwen_state_dict) drops the vision tower
+    (the T2V pipeline is text-only); this converter picks it up for the
+    image-conditioned surface. blocks stack along a leading depth axis
+    (lax.scan); Linear weights transpose to (in, out); the 5-D patch
+    conv (embed, C, tps, ps, ps) flattens to (embed, C*tps*ps*ps) — the
+    stride==kernel conv is one GEMM over flattened patches."""
+    tree: dict = {}
+    blocks: Dict[int, dict] = {}
+    block_re = re.compile(r"^blocks\.(\d+)\.(.+)$")
+    for key, value in state_dict.items():
+        if not key.startswith("visual."):
+            continue
+        key = key[len("visual."):]
+        arr = np.asarray(value)
+        if key == "patch_embed.proj.weight":
+            arr = arr.reshape(arr.shape[0], -1)  # (embed, flat patch)
+        elif key.endswith(".weight") and arr.ndim == 2:
+            arr = arr.T
+        m = block_re.match(key)
+        if m:
+            _insert(blocks.setdefault(int(m.group(1)), {}), m.group(2), arr)
+        else:
+            _insert(tree, key, arr)
+    tree["blocks"] = _stack_layers(blocks)
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), tree)
+
+
 def convert_clip_state_dict(state_dict: Mapping[str, np.ndarray],
                             dtype=jnp.float32) -> dict:
     """HF CLIPTextModel state dict -> text/clip.py pytree."""
