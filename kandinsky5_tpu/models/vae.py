@@ -74,9 +74,24 @@ def causal_conv3d(p, x: Array, stride=(1, 1, 1)) -> Array:
     (kT-1, 0) on time and k//2 both sides on space, then VALID conv).
 
     x: (B, T, H, W, C); weight: (kT, kH, kW, Cin, Cout).
+
+    Dispatch: 1x1x1 kernels (resnet shortcuts) run as a pointwise dot —
+    layout-neutral, so they never pull XLA's conv layouts into an
+    otherwise-Pallas tower. 3x3x3 kernels at supported channel widths
+    route through the Pallas implicit-GEMM kernel when the all-Pallas
+    decode path is enabled (see _conv_pallas_on): the r4 chain
+    experiment measured Pallas-only at 101.5 TFLOP/s vs XLA-only 68.8
+    and MIXED 53.5 at the full-res shape — mixing is what regressed
+    round 3's attempt, so adoption is all-or-nothing per shape class.
     """
     w = p["weight"]
     kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    if (kt, kh, kw) == (1, 1, 1):
+        return conv1x1(p, x)
+    if stride == (1, 1, 1) and _conv_pallas_on(p, x):
+        from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
+
+        return causal_conv3d_fused(p, x)
     x = jnp.pad(
         x,
         ((0, 0), (kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
@@ -140,29 +155,37 @@ def group_norm(p, x: Array, groups: int = 32, eps: float = GROUPNORM_EPS) -> Arr
     return y.reshape(b, t, h, w, c).astype(x.dtype)
 
 
-def _use_conv_pallas(p, x: Array) -> bool:
+def _conv_pallas_on(p, x: Array) -> bool:
+    """All-Pallas decode-tower policy.
+
+    Round 3 ran the Pallas conv only at the Cout=128 full-res shapes
+    and REGRESSED the decode 17 -> 37.7 s: XLA re-lays activations out
+    around every Pallas<->XLA-conv boundary. The round-4 chain
+    experiment on-chip isolated the cause — back-to-back Pallas convs
+    sustain 101.5 TFLOP/s, back-to-back XLA 68.8, a MIXED chain 53.5 —
+    so the kernel now covers every decoder 3x3x3 (C in {128,256,512}
+    via Cout blocking) and adoption is per whole tower, not per conv.
+
+    DEFAULT ON on TPU (conv_pallas_supported refuses other backends):
+    measured on-chip at the production 5s shape, the all-Pallas stream
+    decode runs 7.5 s vs XLA's 9.5 s and matches it at 48.0 dB PSNR
+    (bf16 reassociation noise, not an accuracy trade — the interpret
+    test is exact vs the XLA conv in fp32 at Cin=128).
+    KANDINSKY5_TPU_PALLAS_CONV=0 opts out (XLA everywhere).
+    """
     import os
 
     from kandinsky5_tpu.ops.conv_pallas import conv_pallas_supported
 
-    # OPT-IN (KANDINSKY5_TPU_PALLAS_CONV=1). The Pallas implicit-GEMM
-    # conv beats XLA in isolation at the full-resolution Cout=128 shapes
-    # (90 vs 57-70 TFLOP/s) but LOSES composed into the decode graph
-    # (37.7 s vs 17.0 s full decode): the custom call pins its operands
-    # to the default layout, and XLA re-lays the activation tensor out
-    # around every call. Kept for when Mosaic grows layout negotiation
-    # or for standalone-conv workloads; see ops/conv_pallas.py.
-    if not os.environ.get("KANDINSKY5_TPU_PALLAS_CONV"):
+    if os.environ.get("KANDINSKY5_TPU_PALLAS_CONV") == "0":
         return False
-    return (p["weight"].shape[-1] == 128
-            and x.shape[2] * x.shape[3] >= 512 * 512
-            and conv_pallas_supported(x, p["weight"], (1, 1, 1)))
+    return conv_pallas_supported(x, p["weight"], (1, 1, 1))
 
 
 def _gn_silu_conv(p_norm, p_conv, x: Array) -> Array:
     """GN -> SiLU -> causal conv, fused into the Pallas conv kernel when
     supported (one HBM round trip for the activation instead of three)."""
-    if _use_conv_pallas(p_conv, x):
+    if _conv_pallas_on(p_conv, x):
         from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
 
         scale_c, shift_c = _gn_fold(p_norm, x)

@@ -68,6 +68,15 @@ def conv3d_stream(p, x: Array, hist: Optional[Array]) -> Tuple[Array, Array]:
     else:
         xt = jnp.concatenate([hist.astype(x.dtype), x], axis=1)
     new_hist = xt[:, xt.shape[1] - (kt - 1):]
+    from kandinsky5_tpu.models.vae import _conv_pallas_on
+
+    if _conv_pallas_on(p, xt):
+        # all-Pallas tower (see vae._conv_pallas_on): the carried
+        # history frames are already normalized+activated, so the
+        # kernel runs UNFUSED with the time prefix pre-attached
+        from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
+
+        return causal_conv3d_fused(p, xt, time_padded=True), new_hist
     xp = jnp.pad(xt, ((0, 0), (0, 0), (kh // 2, kh // 2),
                       (kw // 2, kw // 2), (0, 0)), mode="edge")
     y = jax.lax.conv_general_dilated(

@@ -43,13 +43,38 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _pick_bw(w: int, cin: int) -> int:
-    """Largest W tile that divides w within the VMEM budget."""
-    budget = 192 if cin > 128 else 256
-    for bw in (256, 192, 128, 96, 64):
-        if bw <= budget and w % bw == 0:
-            return bw
-    return 0
+_VMEM_BUDGET = 14_500_000  # bytes of estimated scoped VMEM to admit
+_VMEM_FUDGE = 1.45  # measured scoped-alloc / naive-sum ratio (r4, v5e)
+
+
+def _pick_tiles(w: int, cin: int, cout: int, bh: int = 8):
+    """(bw, cb): W tile + Cout block under the VMEM budget, or (0, 0).
+
+    Estimated scoped VMEM = double-buffered halo input
+    (2 x 3 x (bh+2) x (bw+8) x cin bf16) + the weight slice
+    (27 x cin x cb bf16) + double-buffered out tile + fp32 accumulator,
+    times the measured fudge (Mosaic's actual scoped allocation ran
+    1.42x the naive sum on v5e — slice temporaries and pipeline
+    bookkeeping). cb < cout (Cout blocking) extends the kernel to
+    512-channel stages: the 2-D grid revisits the same input tile once
+    per weight slice (no re-DMA — the tile stays in scratch across the
+    inner cout-block iterations). The fused GN+SiLU input transform
+    adds ~2 live fp32 per-time-plane temporaries on top (counted
+    outside the fudge — they are exact, not bookkeeping)."""
+    for bw in (256, 192, 128, 96, 64, 48, 32):
+        if w % bw:
+            continue
+        in_bytes = 2 * 3 * (bh + 2) * (bw + 8) * cin * 2
+        fuse_tmp = 2 * (bh + 2) * (bw + 8) * cin * 4
+        for cb in (cout, 256, 128):
+            if cb > cout or cout % cb:
+                continue
+            w_bytes = 27 * cin * cb * 2
+            out_bytes = 2 * bh * bw * cb * 2 + bh * bw * cb * 4
+            est = _VMEM_FUDGE * (in_bytes + w_bytes + out_bytes) + fuse_tmp
+            if est <= _VMEM_BUDGET:
+                return bw, cb
+    return 0, 0
 
 
 def conv_pallas_supported(x: Array, w: Array, stride) -> bool:
@@ -60,16 +85,18 @@ def conv_pallas_supported(x: Array, w: Array, stride) -> bool:
     if w.shape[:3] != (3, 3, 3):
         return False
     kt, kh, kw, cin, cout = w.shape
-    if cin not in (128, 256) or cout not in (128, 256):
+    if cin not in (128, 256, 512) or cout not in (128, 256, 512):
         return False
     b, t, hh, ww, _ = x.shape
-    return b == 1 and hh % 8 == 0 and _pick_bw(ww, cin) > 0
+    return b == 1 and hh % 8 == 0 and _pick_tiles(ww, cin, cout)[0] > 0
 
 
 def _kernel(w_ref, bias_ref, scale_ref, shift_ref, x_hbm, o_ref,
             in_buf, sem, *, bh: int, bw: int, nh: int, nw: int,
-            n_prog: int, cin: int, cout: int, fuse: bool, act: bool):
+            n_prog: int, n_cb: int, cin: int, cb: int, fuse: bool,
+            act: bool):
     p = pl.program_id(0)
+    c = pl.program_id(1)  # Cout block (one weight slice per iteration)
 
     def start_dma(prog, slot):
         t = prog // (nh * nw)
@@ -84,24 +111,36 @@ def _kernel(w_ref, bias_ref, scale_ref, shift_ref, x_hbm, o_ref,
             sem.at[slot],
         )
 
-    @pl.when(p == 0)
+    @pl.when((p == 0) & (c == 0))
     def _warmup():
         start_dma(0, 0).start()
 
-    @pl.when(p + 1 < n_prog)
+    @pl.when((c == 0) & (p + 1 < n_prog))
     def _prefetch():
+        # issue the NEXT spatial tile's copy while all n_cb weight
+        # slices of this tile compute (the other scratch slot)
         start_dma(p + 1, (p + 1) % 2).start()
 
-    start_dma(p, p % 2).wait()
-    tile = in_buf[p % 2]
-    if fuse:
-        xf = tile.astype(jnp.float32)
-        xf = xf * scale_ref[0] + shift_ref[0]
-        if act:
-            xf = xf * jax.nn.sigmoid(xf)
-        tile = xf.astype(in_buf.dtype)
+    @pl.when(c == 0)
+    def _wait():
+        start_dma(p, p % 2).wait()
+        if fuse:
+            # folded-GroupNorm scale/shift (+ SiLU) applied ONCE per
+            # spatial tile, in place — later cout-block iterations
+            # reread the transformed tile. Per-time-plane so the fp32
+            # temporaries stay at 1/3 of the halo tile: the whole-tile
+            # transform OOM'd scoped VMEM at cin=512 (17.77M vs the
+            # 16M stack limit, caught by the tiled-decode drive).
+            for i in range(3):
+                xf = in_buf[p % 2, i].astype(jnp.float32)
+                xf = xf * scale_ref[0] + shift_ref[0]
+                if act:
+                    xf = xf * jax.nn.sigmoid(xf)
+                in_buf[p % 2, i] = xf.astype(in_buf.dtype)
 
-    acc = jnp.zeros((bh * bw, cout), jnp.float32)
+    tile = in_buf[p % 2]
+
+    acc = jnp.zeros((bh * bw, cb), jnp.float32)
     for dt in range(3):
         for dh in range(3):
             for dw in range(3):
@@ -112,7 +151,7 @@ def _kernel(w_ref, bias_ref, scale_ref, shift_ref, x_hbm, o_ref,
                     preferred_element_type=jnp.float32,
                 )
     acc += bias_ref[0]
-    o_ref[0] = acc.reshape(bh, bw, cout).astype(o_ref.dtype)
+    o_ref[0] = acc.reshape(bh, bw, cb).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bh", "act", "interpret"))
@@ -125,7 +164,8 @@ def _conv_fused(x_pad, w27, bias, scale, shift, bh=8, act=True,
     tp, hp, wp, cin = x_pad.shape
     t, h, w = tp - 2, hp - 2, wp - 8
     cout = w27.shape[-1]
-    bw = _pick_bw(w, cin)
+    bw, cb = _pick_tiles(w, cin, cout, bh)
+    n_cb = cout // cb
     nh, nw = h // bh, w // bw
     n_prog = t * nh * nw
     fuse = scale is not None
@@ -134,36 +174,38 @@ def _conv_fused(x_pad, w27, bias, scale, shift, bh=8, act=True,
         shift = jnp.zeros((cin,), jnp.float32)
 
     kernel = functools.partial(
-        _kernel, bh=bh, bw=bw, nh=nh, nw=nw, n_prog=n_prog,
-        cin=cin, cout=cout, fuse=fuse, act=act)
-    grid = (n_prog,)
+        _kernel, bh=bh, bw=bw, nh=nh, nw=nw, n_prog=n_prog, n_cb=n_cb,
+        cin=cin, cb=cb, fuse=fuse, act=act)
+    grid = (n_prog, n_cb)
 
-    def out_map(p):
+    def out_map(p, c):
         tt = p // (nh * nw)
         r = p % (nh * nw)
-        return (tt, r // nw, r % nw, 0)
+        return (tt, r // nw, r % nw, c)
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((27, cin, cout), lambda p: (0, 0, 0),
+            pl.BlockSpec((27, cin, cb), lambda p, c: (0, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda p: (0, 0),
+            pl.BlockSpec((1, cb), lambda p, c: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cin), lambda p: (0, 0),
+            pl.BlockSpec((1, cin), lambda p, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cin), lambda p: (0, 0),
+            pl.BlockSpec((1, cin), lambda p, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, bh, bw, cout), out_map,
+        out_specs=pl.BlockSpec((1, bh, bw, cb), out_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, h, w, cout), x_pad.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 3, bh + 2, bw + 8, cin), x_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * h * w * cin * cout * 27,
             bytes_accessed=2 * (x_pad.size + t * h * w * cout),
@@ -175,16 +217,21 @@ def _conv_fused(x_pad, w27, bias, scale, shift, bh=8, act=True,
 
 
 def causal_conv3d_fused(p, x: Array, scale=None, shift=None, act=False,
-                        bh: int = 8, interpret: bool = False) -> Array:
+                        bh: int = 8, time_padded: bool = False,
+                        interpret: bool = False) -> Array:
     """3x3x3 time-causal conv with optional fused per-channel
     scale/shift (folded GroupNorm) and SiLU on the input.
 
     x: (1, T, H, W, Cin). p: {"weight": (3,3,3,Cin,Cout), "bias": (Cout,)}.
-    The caller guarantees conv_pallas_supported(...) is True.
+    ``time_padded``: the input already carries the 2 leading causal
+    frames (the streaming decoder's carried history,
+    models/vae_stream.conv3d_stream) — pad space only. The caller
+    guarantees conv_pallas_supported(...) is True.
     """
     w = p["weight"]
     # 6 extra W columns keep every DMA window's sublane extent 8-aligned
-    x_pad = jnp.pad(x[0], ((2, 0), (1, 1), (1, 7), (0, 0)), mode="edge")
+    tpad = 0 if time_padded else 2
+    x_pad = jnp.pad(x[0], ((tpad, 0), (1, 1), (1, 7), (0, 0)), mode="edge")
     w27 = w.reshape(27, w.shape[3], w.shape[4])
     y = _conv_fused(x_pad, w27, p["bias"], scale, shift, bh=bh, act=act,
                     interpret=interpret)

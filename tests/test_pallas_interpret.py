@@ -180,3 +180,28 @@ def test_sparse_interpret_paged_kv():
     ref = masked_block_attention_xla(q, k, v, expanded)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_conv_pallas_interpret_cout_blocked():
+    """The Cout-blocked kernel extension (r4: C in {128,256,512} so the
+    WHOLE decoder tower can run Pallas — mixing Pallas and XLA convs
+    measured slower than either pure chain): a 256->512 conv runs the
+    2-D (spatial, cout-block) grid; output must equal the XLA conv."""
+    from kandinsky5_tpu.models.vae import causal_conv3d
+    from kandinsky5_tpu.ops.conv_pallas import (
+        _pick_tiles,
+        causal_conv3d_fused,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    B, T, H, W, Cin, Cout = 1, 2, 8, 64, 256, 512
+    bw, cb = _pick_tiles(W, Cin, Cout)
+    assert cb < Cout, "shape must exercise Cout blocking"
+    x = jax.random.normal(ks[0], (B, T, H, W, Cin), jnp.float32) * 0.2
+    p = {"weight": jax.random.normal(ks[1], (3, 3, 3, Cin, Cout),
+                                     jnp.float32) * 0.03,
+         "bias": jax.random.normal(ks[2], (Cout,), jnp.float32)}
+    ref = causal_conv3d(p, x)
+    out = causal_conv3d_fused(p, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -216,6 +216,13 @@ def main():
         return
     if not args.reference_dump:
         p.error("one of --reference-dump / --make-reference-dump required")
+    # The gate decodes through the XLA conv lowering: the Pallas conv
+    # tower (models/vae._conv_pallas_on, default ON on TPU) matches XLA
+    # at 48 dB — bf16 noise, but the gate's job is to measure OUR
+    # deviations against the reference, so the faithful run pins every
+    # deviating default off. Must be set before any tracing (the env is
+    # read at trace time and jit caches would not see a later change).
+    os.environ["KANDINSKY5_TPU_PALLAS_CONV"] = "0"
     dump = dict(np.load(args.reference_dump, allow_pickle=True))
     run_ours(args.config, dump, args.prompt)
 
