@@ -91,7 +91,7 @@ def causal_conv3d(p, x: Array, stride=(1, 1, 1)) -> Array:
     if stride == (1, 1, 1) and _conv_pallas_on(p, x):
         from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
 
-        return causal_conv3d_fused(p, x)
+        return causal_conv3d_fused(p, x, quant=_int8_conv_on())
     x = jnp.pad(
         x,
         ((0, 0), (kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
@@ -182,15 +182,56 @@ def _conv_pallas_on(p, x: Array) -> bool:
     return conv_pallas_supported(x, p["weight"], (1, 1, 1))
 
 
+def _fuse_gn_on(default: bool) -> bool:
+    """Whether GN+SiLU folds into the Pallas conv kernel. The default
+    is MODE-DEPENDENT, from an on-chip ABAB at the 5s production shape:
+
+      * tiled/plain decode (this module): fused 15.2 s vs unfused
+        31.0 s -> fuse. With 17-frame tiles the unfused graph leaves
+        big XLA GN/SiLU ops between Pallas calls and XLA re-lays the
+        activations out around every custom call (the r3 MIXED-chain
+        failure mode, resurfacing via elementwise ops instead of convs).
+      * streaming decode (vae_stream): unfused 7.6/7.7 s vs fused
+        8.1/8.1 s -> don't fuse. The small state-carry chunks don't
+        trigger the relayout, so what remains is the fused transform's
+        cost: per-tile VPU work serialized ahead of the 27 MXU matmuls
+        (~4 us incl. the 1.29x halo re-transform) vs the ~1.2 us HBM
+        round trip it saves — sigmoid on the VPU is dearer than
+        re-reading bf16 activations.
+
+    KANDINSKY5_TPU_PALLAS_FUSE=0/1 overrides both (the A/B switch;
+    fused==unfused to 2e-4, tests/test_pallas_interpret.py)."""
+    import os
+
+    env = os.environ.get("KANDINSKY5_TPU_PALLAS_FUSE")
+    if env in ("0", "1"):
+        return env == "1"
+    return default
+
+
+def _int8_conv_on() -> bool:
+    """OPT-IN W8A8 int8 matmuls inside the Pallas decode tower
+    (KANDINSKY5_TPU_INT8_CONV=1): s8 x s8 -> s32 runs at the MXU's 2x
+    int8 rate. Unlike the round-3 negative (XLA's int8 conv lowering,
+    only 1.24x isolated), this quantizes inside our own implicit-GEMM
+    kernel — one per-halo-tile activation scale amortized over 27 taps
+    x all Cout blocks. Accuracy is an explicit trade (see DEVIATIONS),
+    measured by the bench's decode-PSNR probes."""
+    import os
+
+    return os.environ.get("KANDINSKY5_TPU_INT8_CONV") == "1"
+
+
 def _gn_silu_conv(p_norm, p_conv, x: Array) -> Array:
     """GN -> SiLU -> causal conv, fused into the Pallas conv kernel when
     supported (one HBM round trip for the activation instead of three)."""
-    if _conv_pallas_on(p_conv, x):
+    if _conv_pallas_on(p_conv, x) and _fuse_gn_on(default=True):
         from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
 
         scale_c, shift_c = _gn_fold(p_norm, x)
         return causal_conv3d_fused(p_conv, x, scale=scale_c[0],
-                                   shift=shift_c[0], act=True)
+                                   shift=shift_c[0], act=True,
+                                   quant=_int8_conv_on())
     h = group_norm(p_norm, x)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
     return causal_conv3d(p_conv, h)

@@ -74,9 +74,11 @@ def conv3d_stream(p, x: Array, hist: Optional[Array]) -> Tuple[Array, Array]:
         # all-Pallas tower (see vae._conv_pallas_on): the carried
         # history frames are already normalized+activated, so the
         # kernel runs UNFUSED with the time prefix pre-attached
+        from kandinsky5_tpu.models.vae import _int8_conv_on
         from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
 
-        return causal_conv3d_fused(p, xt, time_padded=True), new_hist
+        return causal_conv3d_fused(p, xt, time_padded=True,
+                                    quant=_int8_conv_on()), new_hist
     xp = jnp.pad(xt, ((0, 0), (0, 0), (kh // 2, kh // 2),
                       (kw // 2, kw // 2), (0, 0)), mode="edge")
     y = jax.lax.conv_general_dilated(
@@ -91,6 +93,53 @@ def conv3d_stream(p, x: Array, hist: Optional[Array]) -> Tuple[Array, Array]:
 
 
 def _gn_silu_conv_stream(p_norm, p_conv, x, hist):
+    """GN -> SiLU -> streaming causal conv.
+
+    With KANDINSKY5_TPU_PALLAS_FUSE=1 the GroupNorm fold + SiLU fuse
+    into the conv kernel as in the tiled path (models/vae._gn_silu_conv)
+    — the carried history planes, which the PREVIOUS chunk already
+    normalized+activated, pass through the fused transform untouched
+    (prefix_planes). GN statistics still pool over this chunk's x only,
+    so the fused and unfused streams are numerically the same path, and
+    the carried state stays the transformed input tail in both cases.
+    Default is UNFUSED here — see vae._fuse_gn_on for the measured
+    mode-dependent tradeoff.
+    """
+    from kandinsky5_tpu.models.vae import (
+        _conv_pallas_on,
+        _fuse_gn_on,
+        _gn_fold,
+        _int8_conv_on,
+    )
+
+    kt = p_conv["weight"].shape[0]
+    if kt == 3 and _conv_pallas_on(p_conv, x) and _fuse_gn_on(default=False):
+        from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
+
+        quant = _int8_conv_on()
+        scale_c, shift_c = _gn_fold(p_norm, x)
+        scale, shift = scale_c[0], shift_c[0]
+        # carried state = the transformed input tail, exactly what the
+        # unfused path stores (conv3d_stream's concat-then-slice also
+        # reaches into hist when the chunk is shorter than kt-1)
+        th = x[:, -min(x.shape[1], kt - 1):].astype(jnp.float32)
+        th = th * scale + shift
+        th = (th * jax.nn.sigmoid(th)).astype(x.dtype)
+        if hist is None:
+            tail = jnp.pad(th, ((0, 0), (kt - 1 - th.shape[1], 0),
+                                (0, 0), (0, 0), (0, 0)), mode="edge")
+            # first chunk: edge time-padding replicates frame 0, and the
+            # per-channel transform commutes with replication
+            y = causal_conv3d_fused(p_conv, x, scale=scale, shift=shift,
+                                    act=True, quant=quant)
+        else:
+            tail = jnp.concatenate([hist.astype(x.dtype), th],
+                                   axis=1)[:, -(kt - 1):]
+            xt = jnp.concatenate([hist.astype(x.dtype), x], axis=1)
+            y = causal_conv3d_fused(p_conv, xt, scale=scale, shift=shift,
+                                    act=True, time_padded=True,
+                                    prefix_planes=kt - 1, quant=quant)
+        return y, tail
     h = group_norm(p_norm, x)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
     return conv3d_stream(p_conv, h, hist)

@@ -1,25 +1,26 @@
-"""Pallas TPU implicit-GEMM 3x3x3 causal conv (OPT-IN; see below).
+"""Pallas TPU implicit-GEMM 3x3x3 causal conv — the VAE decoder's
+DEFAULT conv path on TPU (models/vae._conv_pallas_on).
 
-XLA's conv_general_dilated runs the HunyuanVideo decoder's full-resolution
-convs (e.g. (17, 512, 768, 128) -> 128) at ~57 TFLOP/s on v5e; this
-kernel reformulates the conv as 27 shifted (rows, Cin) @ (Cin, Cout)
-matmuls accumulated in VMEM — the MXU-native decomposition — and fuses
-the resnet prologue (GroupNorm's folded per-channel scale/shift + SiLU,
-models/vae.py:103-131) into the same pass so the activation tensor makes
-one HBM round trip instead of three.
+XLA's conv_general_dilated runs the HunyuanVideo decoder's convs at
+48-95 TFLOP/s on v5e; this kernel reformulates the conv as 27 shifted
+(rows, Cin) @ (Cin, Cout) matmuls accumulated in VMEM — the MXU-native
+decomposition — at a measured 102-135 TFLOP/s across the six decoder
+shape classes, and can fuse the resnet prologue (GroupNorm's folded
+per-channel scale/shift + SiLU, models/vae.py) into the same pass.
 
-STATUS (measured on v5e, 2026-08): 90.4 TFLOP/s isolated at the
-(17,512,768,128->128) shape — 1.6x XLA — but composed into the jitted
-decode tile the full VAE decode REGRESSES 17.0 s -> 37.7 s: the Pallas
-custom call constrains its operands to the default layout and XLA
-re-lays the 1.7 GB activation tensor out around every call. The VAE
-therefore keeps the XLA conv path unless KANDINSKY5_TPU_PALLAS_CONV=1.
-(A dw-folded im2col variant with K=3*Cin feeds was also tried: Mosaic
-compiles it 5x slower and VMEM-OOMs at the production shape.)
+HISTORY: round 3 ran the kernel only at the Cout=128 full-res shapes
+and the full decode REGRESSED 17.0 -> 37.7 s — the custom call pins
+operands to the default layout and XLA re-lays the activation tensor
+out around every Pallas<->XLA boundary. The round-4 chain experiment
+isolated it (back-to-back Pallas 101.5 TFLOP/s, XLA 68.8, MIXED 53.5),
+so coverage was extended to ALL decoder 3x3x3 convs via Cout blocking
+and adoption is whole-tower: stream decode 9.5 -> 7.5 s at the 5s
+shape. (A dw-folded im2col variant with K=3*Cin feeds was also tried:
+Mosaic compiles it 5x slower and VMEM-OOMs at the production shape.)
 
 Scope (the decoder's measured hot set, models/vae.py:265-282):
-  * kernel 3x3x3, stride 1, NDHWC, bf16, Cin/Cout multiples of 128 that
-    fit VMEM (128/256). Other shapes keep the XLA path.
+  * kernel 3x3x3, stride 1, NDHWC, bf16, Cin/Cout in {128, 256, 512}
+    (Cout blocked to fit VMEM). Other shapes keep the XLA path.
   * replicate padding is pre-applied by the caller (one XLA edge-pad of
     the RAW input — per-channel scale/shift and SiLU commute with
     replication, so fusing them after the pad is exact).
@@ -47,7 +48,8 @@ _VMEM_BUDGET = 14_500_000  # bytes of estimated scoped VMEM to admit
 _VMEM_FUDGE = 1.45  # measured scoped-alloc / naive-sum ratio (r4, v5e)
 
 
-def _pick_tiles(w: int, cin: int, cout: int, bh: int = 8):
+def _pick_tiles(w: int, cin: int, cout: int, bh: int = 8,
+                quant: bool = False):
     """(bw, cb): W tile + Cout block under the VMEM budget, or (0, 0).
 
     Estimated scoped VMEM = double-buffered halo input
@@ -60,16 +62,20 @@ def _pick_tiles(w: int, cin: int, cout: int, bh: int = 8):
     per weight slice (no re-DMA — the tile stays in scratch across the
     inner cout-block iterations). The fused GN+SiLU input transform
     adds ~2 live fp32 per-time-plane temporaries on top (counted
-    outside the fudge — they are exact, not bookkeeping)."""
+    outside the fudge — they are exact, not bookkeeping). ``quant``
+    adds the int8 quantized copy of the halo buffer (+cin/2 bytes per
+    element) and halves the weight slice."""
     for bw in (256, 192, 128, 96, 64, 48, 32):
         if w % bw:
             continue
         in_bytes = 2 * 3 * (bh + 2) * (bw + 8) * cin * 2
         fuse_tmp = 2 * (bh + 2) * (bw + 8) * cin * 4
+        if quant:
+            in_bytes = in_bytes * 3 // 2  # + int8 double-buffered copy
         for cb in (cout, 256, 128):
             if cb > cout or cout % cb:
                 continue
-            w_bytes = 27 * cin * cb * 2
+            w_bytes = 27 * cin * cb * (1 if quant else 2)
             out_bytes = 2 * bh * bw * cb * 2 + bh * bw * cb * 4
             est = _VMEM_FUDGE * (in_bytes + w_bytes + out_bytes) + fuse_tmp
             if est <= _VMEM_BUDGET:
@@ -91,10 +97,14 @@ def conv_pallas_supported(x: Array, w: Array, stride) -> bool:
     return b == 1 and hh % 8 == 0 and _pick_tiles(ww, cin, cout)[0] > 0
 
 
-def _kernel(w_ref, bias_ref, scale_ref, shift_ref, x_hbm, o_ref,
-            in_buf, sem, *, bh: int, bw: int, nh: int, nw: int,
+def _kernel(w_ref, bias_ref, scale_ref, shift_ref, wscale_ref, x_hbm,
+            o_ref, *scratch, bh: int, bw: int, nh: int, nw: int,
             n_prog: int, n_cb: int, cin: int, cb: int, fuse: bool,
-            act: bool):
+            act: bool, prefix: int, quant: bool):
+    if quant:
+        in_buf, q_buf, sx_ref, sem = scratch
+    else:
+        in_buf, sem = scratch
     p = pl.program_id(0)
     c = pl.program_id(1)  # Cout block (one weight slice per iteration)
 
@@ -133,38 +143,83 @@ def _kernel(w_ref, bias_ref, scale_ref, shift_ref, x_hbm, o_ref,
             # 16M stack limit, caught by the tiled-decode drive).
             for i in range(3):
                 xf = in_buf[p % 2, i].astype(jnp.float32)
-                xf = xf * scale_ref[0] + shift_ref[0]
+                yf = xf * scale_ref[0] + shift_ref[0]
                 if act:
-                    xf = xf * jax.nn.sigmoid(xf)
-                in_buf[p % 2, i] = xf.astype(in_buf.dtype)
+                    yf = yf * jax.nn.sigmoid(yf)
+                if prefix:
+                    # streaming decode: x_pad's first ``prefix`` planes
+                    # are the carried history — ALREADY normalized +
+                    # activated by the previous chunk — so they pass
+                    # through untransformed (plane abs index = t + i)
+                    tt = p // (nh * nw)
+                    yf = jnp.where(tt + i >= prefix, yf, xf)
+                in_buf[p % 2, i] = yf.astype(in_buf.dtype)
+        if quant:
+            # symmetric per-halo-tile activation scale: one s8 copy,
+            # quantized ONCE per spatial tile and reused by all 27 taps
+            # x n_cb weight slices. Per-plane passes keep the fp32
+            # temporaries at 1/3 tile (same rule as the fuse transform).
+            m = jnp.float32(0.0)
+            for i in range(3):
+                # reduce in f32: Mosaic can't scalarize a bf16 reduction
+                m = jnp.maximum(m, jnp.max(jnp.abs(
+                    in_buf[p % 2, i].astype(jnp.float32))))
+            s = jnp.maximum(m, 1e-8) / 127.0
+            sx_ref[p % 2, 0] = s
+            inv = 1.0 / s
+            for i in range(3):
+                xf = in_buf[p % 2, i].astype(jnp.float32) * inv
+                q_buf[p % 2, i] = jnp.round(xf).astype(jnp.int8)
 
-    tile = in_buf[p % 2]
-
-    acc = jnp.zeros((bh * bw, cb), jnp.float32)
-    for dt in range(3):
-        for dh in range(3):
-            for dw in range(3):
-                a = tile[dt, dh:dh + bh, dw:dw + bw, :].reshape(bh * bw, cin)
-                acc += jax.lax.dot_general(
-                    a, w_ref[dt * 9 + dh * 3 + dw],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+    if quant:
+        tile = q_buf[p % 2]
+        acc32 = jnp.zeros((bh * bw, cb), jnp.int32)
+        # s32 accumulation is exact and overflow-free: 27 taps x
+        # cin(<=512) x 127^2 = 2.23e8 < 2^31
+        for dt in range(3):
+            for dh in range(3):
+                for dw in range(3):
+                    a = tile[dt, dh:dh + bh, dw:dw + bw, :].reshape(
+                        bh * bw, cin)
+                    acc32 += jax.lax.dot_general(
+                        a, w_ref[dt * 9 + dh * 3 + dw],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+        acc = acc32.astype(jnp.float32) * (sx_ref[p % 2, 0]
+                                           * wscale_ref[0])
+    else:
+        tile = in_buf[p % 2]
+        acc = jnp.zeros((bh * bw, cb), jnp.float32)
+        for dt in range(3):
+            for dh in range(3):
+                for dw in range(3):
+                    a = tile[dt, dh:dh + bh, dw:dw + bw, :].reshape(
+                        bh * bw, cin)
+                    acc += jax.lax.dot_general(
+                        a, w_ref[dt * 9 + dh * 3 + dw],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
     acc += bias_ref[0]
     o_ref[0] = acc.reshape(bh, bw, cb).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bh", "act", "interpret"))
-def _conv_fused(x_pad, w27, bias, scale, shift, bh=8, act=True,
-                interpret=False):
+@functools.partial(jax.jit, static_argnames=("bh", "act", "prefix",
+                                             "quant", "interpret"))
+def _conv_fused(x_pad, w27, bias, scale, shift, bh=8, act=True, prefix=0,
+                quant=False, interpret=False):
     """x_pad: (T+2, H+2, W+2, Cin) raw (pre-normalization) input,
     replicate-padded. w27: (27, Cin, Cout). scale/shift: (Cin,) folded
-    GroupNorm affine, or None for a plain conv. Returns (T, H, W, Cout).
-    """
+    GroupNorm affine, or None for a plain conv. ``quant``: W8A8 — the
+    weight quantizes per-Cout-channel symmetric int8 here (one tiny XLA
+    pass), the activation per-halo-tile inside the kernel; QK^T-style
+    s8 x s8 -> s32 matmuls run at the MXU's 2x int8 rate.
+    Returns (T, H, W, Cout)."""
     tp, hp, wp, cin = x_pad.shape
     t, h, w = tp - 2, hp - 2, wp - 8
     cout = w27.shape[-1]
-    bw, cb = _pick_tiles(w, cin, cout, bh)
+    bw, cb = _pick_tiles(w, cin, cout, bh, quant=quant)
     n_cb = cout // cb
     nh, nw = h // bh, w // bw
     n_prog = t * nh * nw
@@ -173,15 +228,30 @@ def _conv_fused(x_pad, w27, bias, scale, shift, bh=8, act=True,
         scale = jnp.ones((cin,), jnp.float32)
         shift = jnp.zeros((cin,), jnp.float32)
 
+    if quant:
+        wf = w27.astype(jnp.float32)
+        wscale = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1)),
+                             1e-8) / 127.0                      # (Cout,)
+        w_in = jnp.clip(jnp.round(wf / wscale), -127, 127).astype(jnp.int8)
+    else:
+        wscale = jnp.ones((cout,), jnp.float32)
+        w_in = w27.astype(x_pad.dtype)
+
     kernel = functools.partial(
         _kernel, bh=bh, bw=bw, nh=nh, nw=nw, n_prog=n_prog, n_cb=n_cb,
-        cin=cin, cb=cb, fuse=fuse, act=act)
+        cin=cin, cb=cb, fuse=fuse, act=act, prefix=prefix, quant=quant)
     grid = (n_prog, n_cb)
 
     def out_map(p, c):
         tt = p // (nh * nw)
         r = p % (nh * nw)
         return (tt, r // nw, r % nw, c)
+
+    scratch = [pltpu.VMEM((2, 3, bh + 2, bw + 8, cin), x_pad.dtype)]
+    if quant:
+        scratch += [pltpu.VMEM((2, 3, bh + 2, bw + 8, cin), jnp.int8),
+                    pltpu.SMEM((2, 1), jnp.float32)]
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     return pl.pallas_call(
         kernel,
@@ -195,15 +265,14 @@ def _conv_fused(x_pad, w27, bias, scale, shift, bh=8, act=True,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cin), lambda p, c: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda p, c: (0, c),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, bh, bw, cb), out_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, h, w, cout), x_pad.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, bh + 2, bw + 8, cin), x_pad.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -211,13 +280,14 @@ def _conv_fused(x_pad, w27, bias, scale, shift, bh=8, act=True,
             bytes_accessed=2 * (x_pad.size + t * h * w * cout),
             transcendentals=x_pad.size if (fuse and act) else 0),
         interpret=interpret,
-    )(w27.astype(x_pad.dtype), bias.astype(jnp.float32)[None],
+    )(w_in, bias.astype(jnp.float32)[None],
       scale.astype(jnp.float32)[None], shift.astype(jnp.float32)[None],
-      x_pad)
+      wscale.astype(jnp.float32)[None], x_pad)
 
 
 def causal_conv3d_fused(p, x: Array, scale=None, shift=None, act=False,
                         bh: int = 8, time_padded: bool = False,
+                        prefix_planes: int = 0, quant: bool = False,
                         interpret: bool = False) -> Array:
     """3x3x3 time-causal conv with optional fused per-channel
     scale/shift (folded GroupNorm) and SiLU on the input.
@@ -225,8 +295,13 @@ def causal_conv3d_fused(p, x: Array, scale=None, shift=None, act=False,
     x: (1, T, H, W, Cin). p: {"weight": (3,3,3,Cin,Cout), "bias": (Cout,)}.
     ``time_padded``: the input already carries the 2 leading causal
     frames (the streaming decoder's carried history,
-    models/vae_stream.conv3d_stream) — pad space only. The caller
-    guarantees conv_pallas_supported(...) is True.
+    models/vae_stream.conv3d_stream) — pad space only.
+    ``prefix_planes``: with ``time_padded`` + fusion, that many leading
+    time planes are ALREADY transformed (the carried history was
+    normalized+activated by the previous chunk) and pass through the
+    scale/shift/SiLU untouched. ``quant``: W8A8 int8 matmuls (opt-in,
+    KANDINSKY5_TPU_INT8_CONV via models/vae). The caller guarantees
+    conv_pallas_supported(...) is True.
     """
     w = p["weight"]
     # 6 extra W columns keep every DMA window's sublane extent 8-aligned
@@ -234,5 +309,5 @@ def causal_conv3d_fused(p, x: Array, scale=None, shift=None, act=False,
     x_pad = jnp.pad(x[0], ((tpad, 0), (1, 1), (1, 7), (0, 0)), mode="edge")
     w27 = w.reshape(27, w.shape[3], w.shape[4])
     y = _conv_fused(x_pad, w27, p["bias"], scale, shift, bh=bh, act=act,
-                    interpret=interpret)
+                    prefix=prefix_planes, quant=quant, interpret=interpret)
     return y[None]

@@ -205,3 +205,176 @@ def test_conv_pallas_interpret_cout_blocked():
     out = causal_conv3d_fused(p, x, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_conv_pallas_interpret_stream_prefix_planes():
+    """Streaming fused GN+SiLU (r4): the kernel's prefix_planes leaves
+    the carried-history planes untransformed while the chunk frames get
+    the folded scale/shift + SiLU — output must equal the unfused
+    stream conv applied to the pre-transformed chunk."""
+    from kandinsky5_tpu.models.vae import _gn_fold, group_norm
+    from kandinsky5_tpu.models.vae_stream import conv3d_stream
+    from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    B, T, H, W, C = 1, 3, 8, 64, 128
+    x = jax.random.normal(ks[0], (B, T, H, W, C), jnp.float32) * 0.3
+    hist = jax.random.normal(ks[1], (B, 2, H, W, C), jnp.float32) * 0.3
+    p = {"weight": jax.random.normal(ks[2], (3, 3, 3, C, C),
+                                     jnp.float32) * 0.05,
+         "bias": jax.random.normal(ks[3], (C,), jnp.float32)}
+    gnp = {"weight": jnp.full((C,), 1.2, jnp.float32),
+           "bias": jnp.full((C,), -0.05, jnp.float32)}
+
+    h = group_norm(gnp, x)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
+    ref, _ = conv3d_stream(p, h, hist)  # CPU -> XLA branch
+
+    scale, shift = _gn_fold(gnp, x)
+    xt = jnp.concatenate([hist, x], axis=1)
+    out = causal_conv3d_fused(p, xt, scale=scale[0], shift=shift[0],
+                              act=True, time_padded=True, prefix_planes=2,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_stream_fused_resnet_matches_unfused(monkeypatch):
+    """The stream decoder's fused path end-to-end (resnet_stream with
+    the Pallas tower forced on, interpret mode): per-chunk outputs AND
+    carried state must match the unfused XLA stream across a 3-chunk
+    sequence, including a final 1-frame chunk (the carried tail then
+    reaches into the previous history)."""
+    import functools
+
+    from kandinsky5_tpu.models import vae as vae_mod
+    from kandinsky5_tpu.models import vae_stream
+    from kandinsky5_tpu.ops import conv_pallas
+
+    ks = jax.random.split(jax.random.PRNGKey(13), 8)
+    C = 128
+    p = {
+        "norm1": {"weight": 1.0 + 0.1 * jax.random.normal(ks[0], (C,)),
+                  "bias": 0.1 * jax.random.normal(ks[1], (C,))},
+        "conv1": {"weight": jax.random.normal(
+            ks[2], (3, 3, 3, C, C), jnp.float32) * 0.05,
+            "bias": 0.02 * jax.random.normal(ks[3], (C,))},
+        "norm2": {"weight": 1.0 + 0.1 * jax.random.normal(ks[4], (C,)),
+                  "bias": 0.1 * jax.random.normal(ks[5], (C,))},
+        "conv2": {"weight": jax.random.normal(
+            ks[6], (3, 3, 3, C, C), jnp.float32) * 0.05,
+            "bias": 0.02 * jax.random.normal(ks[7], (C,))},
+    }
+    x = jax.random.normal(jax.random.PRNGKey(14), (1, 6, 8, 64, C),
+                          jnp.float32) * 0.3
+    chunks = [x[:, :2], x[:, 2:5], x[:, 5:6]]
+
+    st = None
+    ref_outs = []
+    for ch in chunks:
+        y, st = vae_stream.resnet_stream(p, ch, st)
+        ref_outs.append(y)
+
+    monkeypatch.setattr(vae_mod, "_conv_pallas_on", lambda pp, xx: True)
+    monkeypatch.setattr(vae_mod, "_fuse_gn_on", lambda default=None: True)
+    monkeypatch.setattr(
+        conv_pallas, "causal_conv3d_fused",
+        functools.partial(conv_pallas.causal_conv3d_fused, interpret=True))
+    st = None
+    for ch, ref in zip(chunks, ref_outs):
+        y, st = vae_stream.resnet_stream(p, ch, st)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_conv_pallas_interpret_int8_exact():
+    """W8A8 conv path (r4): single halo tile (one program), so the
+    in-kernel per-tile activation scale is reproducible outside — the
+    int8 kernel must match an EXACT int32 emulation of the same
+    quantization (both epilogues are one f32 multiply)."""
+    from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
+
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    T, H, W, C = 1, 8, 64, 128
+    x = jax.random.normal(ks[0], (1, T, H, W, C), jnp.float32) * 0.4
+    p = {"weight": jax.random.normal(ks[1], (3, 3, 3, C, C),
+                                     jnp.float32) * 0.05,
+         "bias": jax.random.normal(ks[2], (C,), jnp.float32)}
+
+    out = causal_conv3d_fused(p, x, quant=True, interpret=True)
+
+    # exact emulation: same padding, same symmetric scales, s32 matmuls
+    x_pad = jnp.pad(x[0], ((2, 0), (1, 1), (1, 7), (0, 0)), mode="edge")
+    w27 = p["weight"].reshape(27, C, C)
+    ws = jnp.maximum(jnp.max(jnp.abs(w27), axis=(0, 1)), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w27 / ws), -127, 127).astype(jnp.int8)
+    s = jnp.maximum(jnp.max(jnp.abs(x_pad)), 1e-8) / 127.0
+    q = jnp.round(x_pad / s).astype(jnp.int8)
+    acc = jnp.zeros((H * W, C), jnp.int32)
+    for dt in range(3):
+        for dh in range(3):
+            for dw in range(3):
+                a = q[dt, dh:dh + H, dw:dw + W, :].reshape(H * W, C)
+                acc += jax.lax.dot_general(
+                    a, wq[dt * 9 + dh * 3 + dw],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+    ref = (acc.astype(jnp.float32) * (s * ws) + p["bias"]).reshape(
+        1, T, H, W, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # and the quantization itself is sane vs the fp32 kernel
+    outf = causal_conv3d_fused(p, x, interpret=True)
+    rel = float(jnp.max(jnp.abs(out - outf))
+                / (jnp.max(jnp.abs(outf)) + 1e-6))
+    assert rel < 0.05, rel
+
+
+def test_conv_pallas_interpret_int8_multitile_fused():
+    """int8 + fused GN/SiLU across MULTIPLE halo tiles (each program
+    quantizes with its own scale) — exact emulation per (t, h-block)
+    window, transform applied before quantization like the kernel."""
+    from kandinsky5_tpu.ops.conv_pallas import causal_conv3d_fused
+
+    ks = jax.random.split(jax.random.PRNGKey(22), 5)
+    T, H, W, C = 2, 16, 64, 128
+    BH = 8
+    x = jax.random.normal(ks[0], (1, T, H, W, C), jnp.float32) * 0.4
+    p = {"weight": jax.random.normal(ks[1], (3, 3, 3, C, C),
+                                     jnp.float32) * 0.05,
+         "bias": jax.random.normal(ks[2], (C,), jnp.float32)}
+    scale = 1.0 + 0.2 * jax.random.normal(ks[3], (C,))
+    shift = 0.1 * jax.random.normal(ks[4], (C,))
+
+    out = causal_conv3d_fused(p, x, scale=scale, shift=shift, act=True,
+                              quant=True, interpret=True)
+
+    x_pad = jnp.pad(x[0], ((2, 0), (1, 1), (1, 7), (0, 0)), mode="edge")
+    xf = x_pad.astype(jnp.float32) * scale + shift
+    xt = xf * jax.nn.sigmoid(xf)
+    w27 = p["weight"].reshape(27, C, C)
+    ws = jnp.maximum(jnp.max(jnp.abs(w27), axis=(0, 1)), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w27 / ws), -127, 127).astype(jnp.int8)
+    tiles = []
+    for t in range(T):
+        row = []
+        for hb in range(H // BH):
+            win = xt[t:t + 3, hb * BH:hb * BH + BH + 2, :, :]
+            s = jnp.maximum(jnp.max(jnp.abs(win)), 1e-8) / 127.0
+            q = jnp.round(win / s).astype(jnp.int8)
+            acc = jnp.zeros((BH * W, C), jnp.int32)
+            for dt in range(3):
+                for dh in range(3):
+                    for dw in range(3):
+                        a = q[dt, dh:dh + BH, dw:dw + W, :].reshape(
+                            BH * W, C)
+                        acc += jax.lax.dot_general(
+                            a, wq[dt * 9 + dh * 3 + dw],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+            row.append((acc.astype(jnp.float32) * (s * ws)
+                        + p["bias"]).reshape(BH, W, C))
+        tiles.append(jnp.concatenate(row, axis=0))
+    ref = jnp.stack(tiles)[None]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

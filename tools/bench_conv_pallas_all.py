@@ -9,11 +9,11 @@ steady TFLOP/s for both lowerings.
 
 Run: PYTHONPATH=.:/root/.axon_site python tools/bench_conv_pallas_all.py
 """
+import os
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from kandinsky5_tpu.models.vae import causal_conv3d
 from kandinsky5_tpu.ops.conv_pallas import (
@@ -39,28 +39,51 @@ def _sync(y):
 def main():
     print(f"devices: {jax.devices()}")
     for t, h, w, cin, cout in SHAPES:
-        rs = np.random.RandomState(0)
-        x = jnp.asarray(rs.randn(1, t, h, w, cin) * 0.2, jnp.bfloat16)
+        # generate on-device: shipping a ~2.6 GB host array through the
+        # axon tunnel dominates the whole sweep otherwise
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = (jax.random.normal(ks[0], (1, t, h, w, cin), jnp.bfloat16)
+             * 0.2).block_until_ready()
         p = {
-            "weight": jnp.asarray(rs.randn(3, 3, 3, cin, cout) * 0.02,
-                                  jnp.bfloat16),
-            "bias": jnp.asarray(rs.randn(cout) * 0.1, jnp.float32),
+            "weight": jax.random.normal(ks[1], (3, 3, 3, cin, cout),
+                                        jnp.bfloat16) * 0.02,
+            "bias": jax.random.normal(ks[2], (cout,), jnp.float32) * 0.1,
         }
         assert conv_pallas_supported(x, p["weight"], (1, 1, 1)), (t, h, w)
         bw, cb = _pick_tiles(w, cin, cout)
         flops = 2 * t * h * w * cin * cout * 27
 
-        fx = jax.jit(lambda p, x: causal_conv3d(p, x))
+        def _xla_conv(p, x):
+            # causal_conv3d defaults to the Pallas tower on TPU (r4);
+            # pin the opt-out at TRACE time so this column stays XLA
+            os.environ["KANDINSKY5_TPU_PALLAS_CONV"] = "0"
+            try:
+                return causal_conv3d(p, x)
+            finally:
+                del os.environ["KANDINSKY5_TPU_PALLAS_CONV"]
+
+        fx = jax.jit(_xla_conv)
         fp = jax.jit(lambda p, x: causal_conv3d_fused(p, x))
+        fq = jax.jit(lambda p, x: causal_conv3d_fused(p, x, quant=True))
+
+        # jitted fused reductions: the eager version materializes fp32
+        # casts + sub/abs temporaries (~3.4 GB each at the largest
+        # shape) and OOMs HBM once three outputs are alive
+        merr = jax.jit(lambda a, b: jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32))))
+        mabs = jax.jit(lambda a: jnp.max(jnp.abs(a.astype(jnp.float32))))
 
         yx = fx(p, x)
+        ref = float(mabs(yx)) + 1e-6
         yp = fp(p, x)
-        err = float(jnp.max(jnp.abs(yx.astype(jnp.float32)
-                                    - yp.astype(jnp.float32))))
-        ref = float(jnp.max(jnp.abs(yx.astype(jnp.float32)))) + 1e-6
+        err = float(merr(yx, yp))
+        del yp
+        yq = fq(p, x)
+        errq = float(merr(yx, yq))
+        del yq, yx
 
         rates = []
-        for f in (fx, fp):
+        for f in (fx, fp, fq):
             _sync(f(p, x))
             n = 6
             t0 = time.perf_counter()
@@ -72,7 +95,8 @@ def main():
 
         print(f"({t:3d},{h:4d},{w:4d},{cin:4d}->{cout:4d}) bw={bw:4d} "
               f"cb={cb:4d}  xla {rates[0]:6.1f}  pallas {rates[1]:6.1f} "
-              f"TFLOP/s  maxerr {err:.4f} (relmax {err / ref:.4f})")
+              f"int8 {rates[2]:6.1f} TFLOP/s  maxerr {err:.4f} "
+              f"(relmax {err / ref:.4f})  int8 relmax {errq / ref:.4f}")
 
 
 if __name__ == "__main__":
