@@ -725,6 +725,65 @@ def bench_vae_probe(latents, extra):
     gc.collect()
 
 
+def bench_vae_int8(latents, extra):
+    """Opt-in W8A8 decode convs (KANDINSKY5_TPU_INT8_CONV, see
+    DEVIATIONS.md): stream decode time + decoded-frame PSNR vs the bf16
+    Pallas tower at the production shape. The env var is read at trace
+    time and ``quant`` is a static kernel arg, so flipping it inside
+    one process never reuses a stale jit. Guarded EXTRA — the shipped
+    default (bf16 tower, ``vae_s``) is untouched."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from kandinsky5_tpu.models.vae import HunyuanVideoVAE, init_vae_params
+    from kandinsky5_tpu.utils.metrics import psnr
+
+    vae = HunyuanVideoVAE(
+        init_vae_params(jax.random.PRNGKey(1), dtype=jnp.bfloat16),
+        dtype=jnp.bfloat16)
+    z = latents.astype(jnp.bfloat16)
+
+    def run():
+        v = vae.decode(z, mode="stream")
+        _sync_scalar(v)
+        return v
+
+    ref = np.asarray(run()[0, 40:44].astype(jnp.float32))
+    os.environ["KANDINSKY5_TPU_INT8_CONV"] = "1"
+    # the stream-decode jits were already traced this process with
+    # quant=False baked in (the env is read at TRACE time) — without a
+    # cache clear the flag flip silently re-times the bf16 tower
+    # (first budgeted run: vae_int8_s == vae_s, PSNR inf). The persistent
+    # compile cache keeps the forced retrace cheap.
+    jax.clear_caches()
+    try:
+        t0 = time.perf_counter()
+        v = run()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        v = run()
+        steady = time.perf_counter() - t0
+        sl = np.asarray(v[0, 40:44].astype(jnp.float32))
+    finally:
+        del os.environ["KANDINSKY5_TPU_INT8_CONV"]
+        jax.clear_caches()
+    rng_v = max(float(ref.max() - ref.min()), 1e-6)
+    p = psnr(sl, ref, max_val=rng_v)
+    if not np.isfinite(p):
+        print("# vae int8: outputs identical to bf16 — quant did not "
+              "engage; discarding the measurement", file=sys.stderr)
+        return
+    print(f"# vae int8 stream decode: compile+first {compile_s:.1f}s, "
+          f"steady {steady:.1f}s, {p:.1f} dB vs bf16 tower",
+          file=sys.stderr)
+    extra["vae_int8_s"] = round(steady, 2)
+    extra["vae_int8_vs_bf16_psnr_db"] = round(p, 1)
+    del vae, v
+    gc.collect()
+
+
 def bench_nabla10s(extra):
     """One 10s NFE pair (cond+uncond sequential, NABLA sparse path) via
     the host-driven step — the per-step cost of the 100-NFE 10s SFT run."""
@@ -1171,18 +1230,24 @@ def main():
         return
 
     # ---- budgeted extras, highest-value first ----
-    # estimates are the MEASURED costs of the first budgeted on-chip run
-    # (extras_cost_s; that run used 90/330/130 and overran by 202 s)
-    _extra_stage("vae_probe", 280, bench_vae_probe, extra, latents, extra)
+    # estimates are MEASURED stage costs (extras_cost_s of prior runs).
+    # Priority order is the VERDICT's: the bf16-faithful A/B (with the
+    # anomaly re-measure guard) outranks everything; the density sweep
+    # feeds the 10s projection fit so it outranks the worst-case pair;
+    # vae_int8 goes LAST among device extras because it clears jit
+    # caches around the env flip.
     _extra_stage("bf16_faithful", 600, bench_denoise_faithful, extra,
                  quick, extra, latents, budget_all_int8=260)
-    del latents
-    gc.collect()
-    _extra_stage("shard_compute", 250, bench_shard_compute, extra, extra)
+    _extra_stage("vae_probe", 280, bench_vae_probe, extra, latents, extra)
     if "--no-nabla10s" not in sys.argv:
-        _extra_stage("nabla10s_worst", 170, bench_nabla10s, extra, extra)
         _extra_stage("nabla10s_density", 150, bench_nabla10s_density,
                      extra, extra)
+    _extra_stage("shard_compute", 200, bench_shard_compute, extra, extra)
+    if "--no-nabla10s" not in sys.argv:
+        _extra_stage("nabla10s_worst", 170, bench_nabla10s, extra, extra)
+    _extra_stage("vae_int8", 240, bench_vae_int8, extra, latents, extra)
+    del latents
+    gc.collect()
     # host-side arithmetic over already-collected numbers (<1 s each):
     # run UNCONDITIONALLY so BENCH_EXTRA always carries the projection
     # and speed-of-light keys even when the device extras blew the
