@@ -240,6 +240,68 @@ def init_qwen_params_random(key, cfg: QwenTextConfig, dtype=jnp.bfloat16,
     return jax.jit(build)(key)
 
 
+def qwen_param_specs(params, mesh, axes=("sp", "tp")):
+    """PartitionSpec pytree for the Qwen tower over ``axes`` of ``mesh``.
+
+    The decode is HBM-bandwidth-bound (one pass over the ~15 GB of
+    weights per token), so the goal is dividing the per-chip weight
+    read by the shard count: every large matrix shards one dimension
+    ``n``-ways — matmul-parallel where it matters (column-parallel
+    q/k/v/gate/up/lm_head, row-parallel o/down, the reference leaves
+    its text encoders replicated entirely, parallelize.py) — and
+    anything not divisible replicates. Works for both the dense tree
+    and the int8 decode tree (``weight_q``/``scale``).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = 1
+    for a in axes:
+        n *= mesh.shape.get(a, 1)
+    ax = axes if len(axes) > 1 else axes[0]
+
+    # row-parallel projections: shard the INPUT (contraction) axis; the
+    # partial-sum output is all-reduced by XLA
+    row_parallel = ("o_proj", "down_proj")
+
+    def spec_for(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        leafname = names[-1]
+        shape = leaf.shape
+        if leafname in ("weight", "weight_q"):
+            row = any(nm in row_parallel for nm in names)
+            d_shard = len(shape) - (2 if row and len(shape) >= 2 else 1)
+            if shape[d_shard] % n == 0 and not any(
+                    "norm" in nm for nm in names):
+                s = [None] * len(shape)
+                s[d_shard] = ax
+                return P(*s)
+            return P()
+        if leafname in ("bias", "scale"):
+            row = any(nm in row_parallel for nm in names)
+            if not row and shape[-1] % n == 0:
+                s = [None] * (len(shape) - 1) + [ax]
+                return P(*s)
+            return P()
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_qwen_params(params, mesh, axes=("sp", "tp")):
+    """Place a Qwen param pytree onto ``mesh`` with the decode TP plan
+    (see qwen_param_specs). The jitted encode/prefill/decode paths are
+    untouched — GSPMD partitions them from the parameter shardings
+    (per-token weight HBM traffic divides by the shard count; the
+    row-parallel all-reduces are the projection's 25% latency fudge,
+    bench.project_v5e8)."""
+    from jax.sharding import NamedSharding
+
+    specs = qwen_param_specs(params, mesh, axes)
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params, specs)
+
+
 def quantize_qwen_decode_params(params):
     """Per-output-channel symmetric int8 quantization of every large
     projection (q/k/v/o, gate/up/down, lm_head) for the DECODE path.
