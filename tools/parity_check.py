@@ -126,13 +126,17 @@ def faithful_spec(spec):
 GATE_DECODE_MODE = "tiled"
 
 
-def run_ours(conf_path: str, dump: dict, prompt: str, pipe=None):
+def run_ours(conf_path: str, dump: dict, prompt: str, pipe=None,
+             magcache=None):
     """Run this framework against a reference dump and report the
     fidelity gate (>35 dB PSNR, BASELINE.md) through the FAITHFUL paths
     (bf16 flash attention + tiled VAE decode), then the shipped fast
     defaults (int8-QK + streaming decode) as separate secondary
     numbers. ``pipe`` may be injected (selftest path) — by default it
-    is built from the config's checkpoints exactly as production does."""
+    is built from the config's checkpoints exactly as production does.
+    ``magcache`` (a config.MagCacheConfig) threads the skip schedule
+    into the sampler, matching a dump captured with the reference's
+    patched magcache_forward."""
     import jax.numpy as jnp
 
     from kandinsky5_tpu.sampling import generate_latents
@@ -164,7 +168,8 @@ def run_ours(conf_path: str, dump: dict, prompt: str, pipe=None):
     uncond_d = {"text_embeds": uncond.text_embeds,
                 "pooled_embed": uncond.pooled_embed, "mask": uncond.mask}
     latents = generate_latents(pipe.dit_params, spec, noise.shape,
-                               cond_d, uncond_d, seed=0, noise=noise)
+                               cond_d, uncond_d, seed=0, noise=noise,
+                               magcache=magcache)
     ref_lat = dump["latents"]
     if ref_lat.ndim == 4:
         ref_lat = ref_lat[None]
@@ -184,7 +189,8 @@ def run_ours(conf_path: str, dump: dict, prompt: str, pipe=None):
     if fast_differs:
         latents_f = generate_latents(pipe.dit_params, spec_fast,
                                      noise.shape, cond_d, uncond_d,
-                                     seed=0, noise=noise)
+                                     seed=0, noise=noise,
+                                     magcache=magcache)
         frames_f = pipe.decode_latents(latents_f)
         score_f = psnr(frames_f.reshape(ref_frames.shape), ref_frames)
         print(f"decoded-frame PSNR [fast defaults: "

@@ -211,7 +211,21 @@ def build_checkpoints(workdir, seed=0):
                 clip_tok=clip_tok, vae=vae, dit=dit)
 
 
-def write_config(workdir, steps, guidance):
+#: NABLA rehearsal in the EXACT-parity configuration: q_rows=1 +
+#: sort thresholding + no density cap reproduce the reference's
+#: flex/BlockMask semantics (models/utils.py:136-163) through the
+#: production config path; wT/wH/wW sized for the tiny token grid.
+NABLA_ATTENTION = {"type": "nabla", "P": 0.9, "wT": 3, "wH": 3, "wW": 3,
+                   "add_sta": True, "q_rows": 1,
+                   "threshold_method": "sort", "max_density": None}
+#: MagCache rehearsal ratios: near-1 ratios so the calibrated decision
+#: chain (magcache_utils.py:64-87) actually produces skips at tiny step
+#: counts (interpolation handles the length mismatch, both sides).
+MAGCACHE_RATIOS = [1.0 + 0.002 * ((i % 5) - 2) for i in range(20)]
+
+
+def write_config(workdir, steps, guidance, attention=None, magcache=None,
+                 name="config.yaml"):
     import yaml
 
     conf = {
@@ -230,13 +244,15 @@ def write_config(workdir, steps, guidance):
                          "max_length": MAX_LEN_CLIP},
             },
             "dit_params": dict(TINY_DIT),
-            "attention": {"type": "flash"},
+            "attention": dict(attention) if attention else {"type": "flash"},
             "num_steps": steps,
             "guidance_weight": guidance,
         },
         "metrics": {"scale_factor": [1.0, 2.0, 2.0], "resolution": 512},
     }
-    path = os.path.join(workdir, "config.yaml")
+    if magcache:
+        conf["magcache"] = {"mag_ratios": list(magcache)}
+    path = os.path.join(workdir, name)
     with open(path, "w") as f:
         yaml.safe_dump(conf, f)
     return path
@@ -274,9 +290,16 @@ def _encode_reference(models, texts, type_of_content, max_length):
     return {"text_embeds": varlen, "pooled_embed": pooled}, cu
 
 
-def reference_dump(models, shape, steps, guidance, seed):
+def reference_dump(models, shape, steps, guidance, seed, attention=None,
+                   magcache=None):
     """Run the reference generation pipeline (its own generate + VAE
-    decode code) on torch CPU, capturing the parity_check dump keys."""
+    decode code) on torch CPU, capturing the parity_check dump keys.
+
+    ``attention`` (dict) overrides the conf attention block —
+    type "nabla" exercises the reference's flex/BlockMask sparse path
+    (get_sparse_params, generation_utils.py:10-36). ``magcache``
+    (ratio list) installs the reference's patched magcache_forward
+    (magcache_utils.py:16-37) for the run, restored afterwards."""
     import torch
 
     import kandinsky.generation_utils as rgen
@@ -288,16 +311,24 @@ def reference_dump(models, shape, steps, guidance, seed):
     T, H, W, C = shape
     conf_ns = _ns({
         "model": {"dit_params": {"patch_size": TINY_DIT["patch_size"]},
-                  "attention": {"type": "flash"}},
+                  "attention": dict(attention) if attention
+                  else {"type": "flash"}},
         "metrics": {"scale_factor": (1.0, 2.0, 2.0)},
     })
-    visual_rope_pos = [torch.arange(T), torch.arange(W // 2),
-                       torch.arange(W // 2)]
     # rope positions follow generate_sample (generation_utils.py:173-179)
     visual_rope_pos = [
         torch.arange(T), torch.arange(H // 2), torch.arange(W // 2)]
     text_rope_pos = torch.arange(int(cu[-1]))
     null_text_rope_pos = torch.arange(int(ncu[-1]))
+
+    dit = models["dit"]
+    orig_forward = None
+    if magcache:
+        import kandinsky.magcache_utils as rmag
+
+        orig_forward = type(dit).forward
+        rmag.set_magcache_params(dit, list(magcache), steps,
+                                 no_cfg=abs(guidance - 1.0) <= 1e-6)
 
     # the reference draws noise on a CUDA Generator
     # (generation_utils.py:97-99); run it on CPU and capture the draw
@@ -309,11 +340,13 @@ def reference_dump(models, shape, steps, guidance, seed):
         noise = torch.randn(*shape, generator=g)
         with torch.no_grad():
             latents = rgen.generate(
-                models["dit"], "cpu", shape, steps, embeds, nembeds,
+                dit, "cpu", shape, steps, embeds, nembeds,
                 visual_rope_pos, text_rope_pos, null_text_rope_pos,
                 guidance, 5.0, conf_ns, seed=seed, progress=False)
     finally:
         torch.Generator = real_gen
+        if orig_forward is not None:
+            type(dit).forward = orig_forward
 
     # VAE decode exactly as generate_sample (generation_utils.py:210-222)
     vae = models["vae"]
@@ -355,8 +388,16 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=8,
                    help="latent H=W (pixels = 8x)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--modes", default="flash,nabla,magcache",
+                   help="comma list of mechanisms to rehearse: flash "
+                        "(dense 5s path), nabla (10s sparse path, exact "
+                        "q_rows=1/sort semantics), magcache (calibrated "
+                        "skip schedule vs the reference's patched "
+                        "forward) — together they cover every mechanism "
+                        "the 8 released configs select")
     p.add_argument("--dump-out", default=None,
-                   help="also save the reference dump as npz")
+                   help="also save the reference dump(s) as npz (a "
+                        "-<mode> suffix is added beyond the first)")
     args = p.parse_args(argv)
 
     import jax
@@ -367,34 +408,73 @@ def main(argv=None):
     os.makedirs(args.workdir, exist_ok=True)
     print(f"[1/4] building tiny checkpoints in {args.workdir}")
     models = build_checkpoints(args.workdir, seed=args.seed)
-    conf_path = write_config(args.workdir, args.steps, args.guidance)
 
-    shape = (args.frames, args.size, args.size, TINY_DIT["in_visual_dim"])
-    print(f"[2/4] reference run (torch CPU), latent shape {shape}")
-    dump = reference_dump(models, shape, args.steps, args.guidance,
-                          args.seed)
-    if args.dump_out:
-        np.savez_compressed(args.dump_out, **dump)
-
-    print("[3/4] building OUR pipeline via the production factory")
-    from kandinsky5_tpu.pipeline import get_T2V_pipeline
-
-    pipe = get_T2V_pipeline(conf_path=conf_path, dtype=jnp.float32)
-    # sanity: config.json-driven dims reached the embedder
-    assert pipe.text_embedder.qwen_cfg.hidden_size == QWEN_DIMS["hidden_size"]
-    assert pipe.text_embedder.clip_cfg.hidden_size == CLIP_DIMS["hidden_size"]
-
-    print("[4/4] running the parity gate (tools/parity_check.run_ours)")
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
         "k5_parity_check", os.path.join(_REPO, "tools", "parity_check.py"))
     pc = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pc)
-    score = pc.run_ours(conf_path, dump, PROMPT, pipe=pipe)
-    ok = score > 35.0
-    print(f"SELFTEST {'PASS' if ok else 'FAIL'}: decoded-frame PSNR "
-          f"{score:.2f} dB (gate > 35)")
+
+    from kandinsky5_tpu.pipeline import get_T2V_pipeline
+
+    scores = {}
+    for mode in [m.strip() for m in args.modes.split(",") if m.strip()]:
+        attention = magr = None
+        steps = args.steps
+        shape = (args.frames, args.size, args.size,
+                 TINY_DIT["in_visual_dim"])
+        if mode == "nabla":
+            attention = NABLA_ATTENTION
+            # NABLA needs an 8-divisible token grid: latent 16x16 with
+            # patch 2x2 -> (T, 8, 8) tokens, 64-token blocks = fractal
+            # (1, 8, 8) tiles
+            shape = (4, 16, 16, TINY_DIT["in_visual_dim"])
+        elif mode == "magcache":
+            magr = MAGCACHE_RATIOS
+            # warmup = int(2*steps*0.2) must cover >= 1 full step so the
+            # reference's residual_cache is populated before the first
+            # skip (its first-skip-on-empty-cache is a None deref; real
+            # configs sit far past this with 50 steps x 0.2)
+            steps = max(steps, 5)
+        elif mode != "flash":
+            p.error(f"unknown mode {mode}")
+
+        conf_path = write_config(args.workdir, steps, args.guidance,
+                                 attention=attention, magcache=magr,
+                                 name=f"config_{mode}.yaml")
+        print(f"[2/4] ({mode}) reference run (torch CPU), latent shape "
+              f"{shape}, {steps} steps")
+        dump = reference_dump(models, shape, steps, args.guidance,
+                              args.seed, attention=attention, magcache=magr)
+        if args.dump_out:
+            out = (args.dump_out if not scores else
+                   args.dump_out.replace(".npz", f"-{mode}.npz"))
+            np.savez_compressed(out, **dump)
+
+        print(f"[3/4] ({mode}) building OUR pipeline via the production "
+              f"factory")
+        pipe = get_T2V_pipeline(conf_path=conf_path, dtype=jnp.float32)
+        # sanity: config.json-driven dims reached the embedder
+        assert (pipe.text_embedder.qwen_cfg.hidden_size
+                == QWEN_DIMS["hidden_size"])
+        assert (pipe.text_embedder.clip_cfg.hidden_size
+                == CLIP_DIMS["hidden_size"])
+        if mode == "nabla":
+            assert pipe.conf.model.attention.type == "nabla"
+        mag = pipe.conf.magcache if magr else None
+        if magr:
+            assert mag is not None and len(mag.mag_ratios) > 0
+
+        print(f"[4/4] ({mode}) running the parity gate "
+              f"(tools/parity_check.run_ours)")
+        scores[mode] = pc.run_ours(conf_path, dump, PROMPT, pipe=pipe,
+                                   magcache=mag)
+
+    ok = all(s > 35.0 for s in scores.values())
+    for mode, s in scores.items():
+        print(f"SELFTEST[{mode}] {'PASS' if s > 35.0 else 'FAIL'}: "
+              f"decoded-frame PSNR {s:.2f} dB (gate > 35)")
     return 0 if ok else 1
 
 
