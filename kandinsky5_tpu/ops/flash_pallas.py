@@ -76,6 +76,28 @@ Performance notes (measured on v5e, head_dim 64, 47,616 tokens):
     acc with int lhs"). Flag kept opt-in (KANDINSKY5_TPU_FASTEXP) with
     interpret-mode accuracy coverage; max rel err ~2% vs int8's ~1.1%
     (normalizer cancels the mean multiplicative bias).
+  * ROUND-5 CLOSURE — the int8 kernel is at its ceiling; the recorded
+    95 TFLOP/s was a measurement artifact. Per-pass decomposition
+    (tools/bench_i8_decomp.py, structurally-identical kernels with
+    passes removed, v5e): exp2 pass 3.4 ms + dequant fma 0.6 ms out of
+    139.9 ms full — the VPU chain costs ~3% and fully overlaps; QK+PV
+    alone are ~140 ms at the measured MXU rates (16.25 TF raw int8 QK
+    / 292 + 16.25 TF raw bf16 PV / 191 = 140.3 ms — both matmuls run
+    128-lane-padded, so raw = 2x useful), i.e. the kernel core is at
+    ~100% of the d=64 MXU roofline: 116.2 TFLOP/s useful ~= the ~115
+    achievable ceiling. The earlier 95 number timed the UNJITTED
+    flash_attention wrapper, whose eager _pack_int8 dispatch adds
+    ~27 ms the production (jitted) path never pays — jit(q,k,v ->
+    flash_attention(...)) measures 112.2 useful (pack+epilogue ~5 ms
+    in-graph). The lag-1 kv-block software pipeline (``pipe=True``,
+    _kernel_fixed_i8_pipe) was built and swept anyway: NEGATIVE at
+    every (bq, bk, hp, exp_bf16) tried — best 90.9 vs 94.9 standalone
+    (1536/512+ebf16; plain 81.1, 768/512 hp2 84.1, 1536/768 82.9) —
+    the double-buffered VMEM score-tile round-trip (6-12 MiB live)
+    shrinks the DMA windows and costs more than the exp2/PV overlap
+    buys, exactly like the bf16 lag-1 negative. Kept opt-in
+    (KANDINSKY5_TPU_I8_PIPE) with interpret-exact coverage; there is
+    no remaining in-kernel lever short of fp8 hardware.
 
 Other lengths are handled by padding K/V to a block multiple and masking
 the tail; padded Q rows compute garbage that is sliced off.
@@ -358,6 +380,93 @@ def _kernel_fixed_i8(*refs, num_k: int, masked: bool, hp: int, dt: int,
             )
 
     @pl.when(j == num_k - 1)
+    def _finalize():
+        for h in range(hp):
+            acc = acc_ref[h]
+            n = jnp.maximum(acc[:, dt:dt + 1], 1e-30)
+            o_ref[h] = (acc[:, :dt] / n).astype(o_ref.dtype)
+
+
+def _kernel_fixed_i8_pipe(*refs, num_k: int, masked: bool, hp: int, dt: int,
+                          exp_bf16: bool):
+    """Lag-1 kv-block software pipeline over _kernel_fixed_i8's math.
+
+    The plain int8 kernel's per-block dependency chain
+    QK(s8xs8->s32, MXU) -> dequant (VPU) -> exp2 (VPU) -> PV (bf16 MXU)
+    serializes the VPU passes against both MXU halves within each grid
+    step (the module docstring pins the 95 vs ~115 TFLOP/s residue on
+    exactly this chain). Here the chain is split across grid steps with
+    a double-buffered VMEM score scratch: step j PRODUCES block j's
+    dequanted log2-domain scores (QK + dequant + mask) into scr[j%2]
+    and CONSUMES block j-1's from scr[(j-1)%2] (exp2 + PV) — the two
+    halves have no data dependency inside a step, so Mosaic can overlap
+    block j's int8 QK matmul with block j-1's exp2/PV. One extra grid
+    step drains the last block (V's index map lags one block behind for
+    the consume half; K/aux/mask clamp at the last block for the dead
+    produce).
+
+    The math and accumulation order are IDENTICAL to _kernel_fixed_i8
+    (tests/test_pallas_interpret.py asserts exact equality in fp32
+    scratch mode). The fp32 score tile costs 2*bq*bk*4 VMEM bytes
+    (bf16 when exp_bf16 — same rounding the PV matmul applies anyway).
+    """
+    if masked:
+        q_ref, k_ref, v_ref, aux_ref, mask_ref, o_ref, acc_ref, s0, s1 = refs
+    else:
+        q_ref, k_ref, v_ref, aux_ref, o_ref, acc_ref, s0, s1 = refs
+        mask_ref = None
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def produce(scr):
+        for h in range(hp):
+            s32 = jax.lax.dot_general(
+                q_ref[h], k_ref[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            c = aux_ref[h, 0:1, :]
+            bsh = aux_ref[h, 1:2, :]
+            s = s32.astype(jnp.float32) * c - bsh
+            if masked:
+                s = jnp.where(mask_ref[0, 0][None, :] != 0, s, _NEG)
+            scr[h] = s.astype(scr.dtype)
+
+    def consume(scr):
+        for h in range(hp):
+            if exp_bf16:
+                p = jnp.exp2(scr[h])          # scratch already bf16
+            else:
+                p = jnp.exp2(scr[h]).astype(v_ref.dtype)
+            acc_ref[h] += jax.lax.dot_general(
+                p, v_ref[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    even = j % 2 == 0
+
+    @pl.when(jnp.logical_and(j < num_k, even))
+    def _prod0():
+        produce(s0)
+
+    @pl.when(jnp.logical_and(j < num_k, jnp.logical_not(even)))
+    def _prod1():
+        produce(s1)
+
+    # consuming block j-1, whose parity is (j-1)%2 == (j+1)%2
+    @pl.when(jnp.logical_and(j > 0, jnp.logical_not(even)))
+    def _cons0():
+        consume(s0)
+
+    @pl.when(jnp.logical_and(j > 0, even))
+    def _cons1():
+        consume(s1)
+
+    @pl.when(j == num_k)
     def _finalize():
         for h in range(hp):
             acc = acc_ref[h]
@@ -657,6 +766,92 @@ def _pack_int8(qf: Array, kf: Array, vf: Array, d: int, pv8: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "masked", "block_q", "block_k", "exp_bf16", "hp_opt", "interpret"))
+def _flash_i8_pipe_bhld(q8: Array, k8: Array, v: Array, aux: Array,
+                        mask: Array, masked: bool, block_q: int, block_k: int,
+                        exp_bf16: bool = False, hp_opt: Optional[int] = None,
+                        interpret: bool = False) -> Array:
+    """(BH, L, 128) int8-QK lag-1 pipelined core (_kernel_fixed_i8_pipe).
+
+    Same inputs as _flash_i8_bhld; the grid gains one drain step and V's
+    index map lags one kv block behind K's (the consume half processes
+    block j-1 while the produce half computes block j's scores).
+    """
+    bh, lq, d = q8.shape
+    assert d % 128 == 0 and k8.shape[1] == d and v.shape[2] == d
+    dt = d - 64
+    lk = k8.shape[2]
+    num_k = lk // block_k
+    h = bh // mask.shape[0]
+    sb = 2 if exp_bf16 else 4  # scratch bytes/elem
+    # the double-buffered score scratch dominates VMEM: gate hp on the
+    # full budget (blocks double-buffered by the pipeline + acc + scratch)
+    hp = 1
+    if hp_opt is not None:
+        hp = hp_opt if (bh % hp_opt == 0 and h % hp_opt == 0) else 1
+    else:
+        for cand in (2,):
+            vmem = (cand * (2 * block_q * d + 2 * d * block_k
+                            + 2 * block_k * d * 2
+                            + block_q * d * 4 + 2 * block_q * dt * 2)
+                    + 2 * cand * block_q * block_k * sb)
+            if bh % cand == 0 and h % cand == 0 and vmem < 12 * 2**20:
+                hp = cand
+                break
+    grid = (bh // hp, lq // block_q, num_k + 1)
+    nk1 = num_k - 1
+    kernel = functools.partial(_kernel_fixed_i8_pipe, num_k=num_k,
+                               masked=masked, hp=hp, dt=dt,
+                               exp_bf16=exp_bf16)
+    flops = 4 * lq * lk * d * bh
+    in_specs = [
+        pl.BlockSpec((hp, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        # K/aux/mask clamp at the last block: the drain step (j == num_k)
+        # never reads them, and the repeated index elides the DMA
+        pl.BlockSpec((hp, d, block_k),
+                     lambda b, i, j: (b, 0, jnp.minimum(j, nk1)),
+                     memory_space=pltpu.VMEM),
+        # V lags one block: the consume half at step j runs block j-1
+        pl.BlockSpec((hp, block_k, d),
+                     lambda b, i, j: (b, jnp.maximum(j - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hp, 8, block_k),
+                     lambda b, i, j: (b, 0, jnp.minimum(j, nk1)),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q8, k8, v, aux]
+    if masked:
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b, i, j, hp=hp, h=h:
+                         ((b * hp) // h, 0, jnp.minimum(j, nk1)),
+                         memory_space=pltpu.VMEM))
+        args.append(mask)
+    scr_dtype = jnp.bfloat16 if exp_bf16 else jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((hp, block_q, dt), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, dt), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hp, block_q, d), jnp.float32),
+            pltpu.VMEM((hp, block_q, block_k), scr_dtype),
+            pltpu.VMEM((hp, block_q, block_k), scr_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q8.size + k8.size + 2 * v.size,
+            transcendentals=lq * lk * bh),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "masked", "ids_masked", "block_q", "block_k", "interpret"))
 def _flash_bhld(q: Array, k: Array, v: Array, mask: Array, q_ids: Array,
                 kv_ids: Array, shift: Array, masked: bool, ids_masked: bool,
@@ -795,6 +990,7 @@ def flash_attention(
     qk_int8: bool = False,
     pv_int8: bool = False,
     fast_exp: bool = False,
+    pipe: Optional[bool] = None,
     interpret: bool = False,
 ) -> Array:
     """(B, L, H, D) flash attention.
@@ -867,10 +1063,20 @@ def flash_attention(
 
     if fixed_shift and qk_int8:
         q8, k8, va, aux, svec = _pack_int8(qf, kf, vf, d, pv8=pv_int8)
-        out = _flash_i8_bhld(q8, k8, va, aux, mask, masked,
-                             block_q, block_k, svec=svec, exp_bf16=exp_bf16,
-                             fast_exp=fast_exp and not pv_int8,
-                             interpret=interpret)
+        if pipe is None:
+            import os
+
+            pipe = os.environ.get("KANDINSKY5_TPU_I8_PIPE", "0") == "1"
+        if pipe and not pv_int8 and not fast_exp:
+            out = _flash_i8_pipe_bhld(q8, k8, va, aux, mask, masked,
+                                      block_q, block_k, exp_bf16=exp_bf16,
+                                      hp_opt=hp_opt, interpret=interpret)
+        else:
+            out = _flash_i8_bhld(q8, k8, va, aux, mask, masked,
+                                 block_q, block_k, svec=svec,
+                                 exp_bf16=exp_bf16,
+                                 fast_exp=fast_exp and not pv_int8,
+                                 interpret=interpret)
         out = out[:, :lq_orig]
         return out.reshape(b, h, lq_orig, d).transpose(0, 2, 1, 3)
 

@@ -102,6 +102,33 @@ def test_flash_interpret_int8_pv():
     assert np.max(np.abs(np.asarray(outm) - np.asarray(refm))) < 4e-2
 
 
+def test_flash_interpret_int8_pipe_exact():
+    """Lag-1 kv-block pipelined int8 kernel (opt-in; a measured perf
+    negative on v5e — see flash_pallas docstring): identical math and
+    accumulation order to the plain int8 kernel, so fp32-scratch mode
+    must match it BIT-EXACTLY across block shapes, masking, and the
+    odd/even drain parities; bf16 scratch (exp_bf16) stays within the
+    softmax-weight rounding bound."""
+    q, k, v = _qkv(jax.random.PRNGKey(13), 2, 640, 2, 64)
+    q = q / jnp.sqrt(jnp.mean(jnp.square(q), axis=-1, keepdims=True))
+    k = k / jnp.sqrt(jnp.mean(jnp.square(k), axis=-1, keepdims=True))
+    mask = jnp.arange(640)[None, :] < jnp.array([[600], [128]])
+    for bq, bk in ((256, 128), (640, 256), (128, 640)):
+        for m in (None, mask):
+            base = flash_attention(q, k, v, kv_mask=m, qk_int8=True,
+                                   pipe=False, block_q=bq, block_k=bk,
+                                   interpret=True)
+            out = flash_attention(q, k, v, kv_mask=m, qk_int8=True,
+                                  pipe=True, block_q=bq, block_k=bk,
+                                  interpret=True)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+            outb = flash_attention(q, k, v, kv_mask=m, qk_int8=True,
+                                   pipe=True, exp_bf16=True, block_q=bq,
+                                   block_k=bk, interpret=True)
+            assert np.max(np.abs(np.asarray(outb, np.float32)
+                                 - np.asarray(base, np.float32))) < 2e-2
+
+
 def test_flash_interpret_kv_mask():
     q, k, v = _qkv(jax.random.PRNGKey(1), 2, 512, 2, 64)
     mask = jnp.arange(512)[None, :] < jnp.array([[300], [100]])

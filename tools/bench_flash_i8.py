@@ -79,7 +79,12 @@ def main():
              ("int8pv 1536/1536", dict(pv_int8=True, block_k=1536)),
              ("int8pv 2048/1024", dict(pv_int8=True, block_q=2048,
                                        block_k=1024)),
-             ("int8pv 3072/768", dict(pv_int8=True, block_q=3072))]
+             ("int8pv 3072/768", dict(pv_int8=True, block_q=3072)),
+             # lag-1 kv-block pipeline (round-5 measured NEGATIVE at
+             # every block config; see flash_pallas module docstring)
+             ("int8pipe 1536/512", dict(qk_int8=True, pipe=True)),
+             ("int8pipe 1536/512 ebf16", dict(qk_int8=True, pipe=True,
+                                              exp_bf16=True))]
     for name, kw in cases:
         try:
             t = timeit(flash_attention, q, k, v, **kw)
@@ -87,6 +92,15 @@ def main():
                   f"{flops/t/1e12:6.1f} TFLOP/s useful")
         except Exception as e:
             print(f"  rate {name}: FAILED {type(e).__name__}: {str(e)[:120]}")
+
+    # artifact-free production view: the pack runs INSIDE the jit (as in
+    # the denoise graph); the standalone calls above pay an eager-pack
+    # dispatch overhead (~27 ms at the 5s shape) production never sees
+    for name, kw in [("bf16", {}), ("int8", dict(qk_int8=True))]:
+        f = jax.jit(lambda q, k, v, kw=kw: flash_attention(q, k, v, **kw))
+        t = timeit(f, q, k, v)
+        print(f"  rate jit({name}): {t*1e3:9.2f} ms   "
+              f"{flops/t/1e12:6.1f} TFLOP/s useful")
 
 
 if __name__ == "__main__":
