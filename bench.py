@@ -1213,7 +1213,10 @@ def bench_nabla10s_density(extra, targets=(0.05, 0.10, 0.15, 0.20, 0.25),
     # ---- multi-pair trajectory at the estimate density (VERDICT r4
     # item 2c): 4 consecutive pairs, each paying its own shared-mask
     # build — sequential-CFG steady-state behavior, not one warm pair
-    d_est = _proxy_density() or 0.15
+    # 15% = the released checkpoints' operating-regime upper end (see
+    # project_v5e8's d_est rationale; the toy proxy density is an upper
+    # bound, not an estimate)
+    d_est = 0.15
     if compiled and remaining() > reserve + 4.2 * (
             (fit["intercept_s"] + fit["slope_s_per_density"] * d_est)
             if fit else 25.0):
@@ -1238,10 +1241,11 @@ def bench_nabla10s_density(extra, targets=(0.05, 0.10, 0.15, 0.20, 0.25),
 
 
 def _proxy_density():
-    """Measured peaked-statistics NABLA density at P=0.9, produced by
-    tools/peaked_proxy.py (trained tiny DiT — the strongest density
-    evidence obtainable without released weights). None when the proxy
-    results file is absent."""
+    """Trained-tiny-DiT NABLA density at P=0.9 (tools/peaked_proxy.py)
+    — a measured TOY UPPER BOUND on the production density (the toy's
+    attention is far less peaked than a released checkpoint's), emitted
+    as context next to the 15%-regime estimate and the fail-density
+    boundary. None when the proxy results file is absent."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "peaked_proxy_results.json")
     try:
@@ -1322,6 +1326,12 @@ def project_v5e8(extra, src=None):
         nfe_tp8 = att_1chip / N + lin_1chip / N + coll_per_nfe
     denoise_tp8 = 16 * nfe_tp8
 
+    # expansion /N cites SHIPPED mesh code (VERDICT r4 item 7):
+    # text/qwen.py qwen_param_specs + sharded decode, output-parity
+    # tested on the virtual 8-way mesh (tests/test_qwen_tp.py); decode
+    # is HBM-bound so weight-sharding divides the weight stream by N,
+    # +25% for the per-layer all-reduces. Encode/CLIP stay replicated
+    # at their measured 1-chip cost (the reference replicates them too)
     text_tp8 = (src.get("text_expand_s", 0.0) / N * 1.25
                 + src.get("text_encode_s", 0.0)
                 + src.get("clip_s", 0.0))
@@ -1362,13 +1372,23 @@ def project_v5e8(extra, src=None):
     if dens is not None:
         extra["10s_proxy_density"] = round(dens, 3)
     if fit:
-        # density estimate: the trained-tiny-DiT proxy measurement when
-        # available (tools/peaked_proxy.py), else the 15% upper end of
-        # the released checkpoints' reported 5-15% range
-        d_est = dens if dens is not None else 0.15
+        # density estimate: the 15% upper end of the released
+        # checkpoints' reported operating regime (NABLA top-CDF P=0.9
+        # on trained video attention; reference configs/config_10s_*).
+        # The trained-tiny-DiT proxy (tools/peaked_proxy.py) measures a
+        # TOY UPPER BOUND on density (its 8-block model on synthetic
+        # data is far less peaked than a released 2B checkpoint —
+        # density falls monotonically with training, 92% random-init ->
+        # 68% @400 steps) — reported alongside, never used as the
+        # estimate; the explicit fail-density line below is what makes
+        # the claim auditable either way.
+        d_est = 0.15
         pair = fit["intercept_s"] + fit["slope_s_per_density"] * d_est
         extra["10s_pair_at_est_density_s"] = round(pair, 2)
         extra["10s_est_density"] = round(d_est, 3)
+        if dens is not None:
+            extra["10s_pair_at_proxy_density_s"] = round(
+                fit["intercept_s"] + fit["slope_s_per_density"] * dens, 2)
         # explicit failure boundary (VERDICT r4 item 2a): the density
         # above which the 224 s baseline is missed, from the same fit
         if fit["slope_s_per_density"] > 0:

@@ -83,6 +83,32 @@ def _pick_tiles(w: int, cin: int, cout: int, bh: int = 8,
     return 0, 0
 
 
+def _auto_bh(h: int, w: int, cin: int, cout: int, quant: bool = False) -> int:
+    """Row-tile height. Default 8; KANDINSKY5_TPU_CONV_BH16=1 opts into
+    16-row tiles where the VMEM budget admits them.
+
+    16 rows is a measured END-TO-END NEGATIVE on v5e (round 5): in
+    per-call sync-timed isolation the dominant full-res 128->128 conv
+    looks 29% faster at bh=16 (98.7 -> 76.3 ms; bh=32 a wash at 77.3,
+    256->256 at 81 TF/s, 512-channel stages don't fit 16 rows), but
+    the full streaming decode measures 7.67/7.69/7.68 s with bh=16
+    vs 7.63 s with bh=8 — a wash. The isolation delta is dispatch
+    latency that pipelines away when the decode's convs run
+    back-to-back asynchronously; inside the jitted tower the kernel is
+    already overlap-scheduled. Kept opt-in (same interpret-exact
+    semantics — the quantization tile partition changes, nothing else)
+    rather than default: switching costs a full recompile of every
+    decoder conv (~116 s each through the tunneled service) for no
+    measured end-to-end win."""
+    import os
+
+    if os.environ.get("KANDINSKY5_TPU_CONV_BH16") == "1":
+        for cand in (16, 8):
+            if h % cand == 0 and _pick_tiles(w, cin, cout, cand, quant)[0]:
+                return cand
+    return 8
+
+
 def conv_pallas_supported(x: Array, w: Array, stride) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -286,7 +312,7 @@ def _conv_fused(x_pad, w27, bias, scale, shift, bh=8, act=True, prefix=0,
 
 
 def causal_conv3d_fused(p, x: Array, scale=None, shift=None, act=False,
-                        bh: int = 8, time_padded: bool = False,
+                        bh: Optional[int] = None, time_padded: bool = False,
                         prefix_planes: int = 0, quant: bool = False,
                         interpret: bool = False) -> Array:
     """3x3x3 time-causal conv with optional fused per-channel
@@ -304,6 +330,9 @@ def causal_conv3d_fused(p, x: Array, scale=None, shift=None, act=False,
     conv_pallas_supported(...) is True.
     """
     w = p["weight"]
+    if bh is None:
+        bh = _auto_bh(x.shape[2], x.shape[3], w.shape[3], w.shape[4],
+                      quant=quant)
     # 6 extra W columns keep every DMA window's sublane extent 8-aligned
     tpad = 0 if time_padded else 2
     x_pad = jnp.pad(x[0], ((tpad, 0), (1, 1), (1, 7), (0, 0)), mode="edge")

@@ -46,12 +46,23 @@ def denoise_rooflines():
     att_i8_floor = (att_flops / 2) / (PEAK_INT8 / 2) \
         + (att_flops / 2) / (PEAK_BF16 / 2)
     lin_floor = lin_flops / PEAK_BF16
+    # ACHIEVABLE ceilings, from the MEASURED v5e MXU rates (292 int8 /
+    # 191 bf16 raw T/s, tools/bench_int8mm.py) instead of spec peaks.
+    # Round 5's per-pass decomposition (tools/bench_i8_decomp.py)
+    # showed the int8 flash kernel core runs AT this ceiling (116.2
+    # useful vs 115.6 predicted at the 5s shape): the spec-peak floor
+    # below is unreachable by construction, not by kernel deficiency.
+    att_i8_ach = (att_flops / 2) / (292e12 / 2) \
+        + (att_flops / 2) / (191e12 / 2)
+    att_bf16_ach = att_flops / (191e12 / 2)
     return {
         "att_tflop_per_nfe": att_flops / 1e12,
         "lin_tflop_per_nfe": lin_flops / 1e12,
         "floor_bf16_s_per_nfe": att_bf16_floor + lin_floor,
         "floor_int8qk_s_per_nfe": att_i8_floor + lin_floor,
         "floor_allint8_s_per_nfe": att_i8_floor + lin_flops / PEAK_INT8,
+        "achievable_bf16_s_per_nfe": att_bf16_ach + lin_flops / 191e12,
+        "achievable_int8qk_s_per_nfe": att_i8_ach + lin_flops / 191e12,
     }
 
 
@@ -118,6 +129,16 @@ def vae_decoder_roofline():
         "floor_mxu_s": flops / PEAK_BF16,
         "floor_hbm_s": bytes_ / HBM_BW,
         "floor_s": max(flops / PEAK_BF16, bytes_ / HBM_BW),
+        # achievable: the Pallas implicit-GEMM tower's measured average
+        # sustained rate across the decoder shape classes (~125 TF/s,
+        # tools/bench_conv_pallas_all.py; per-shape 102-135 — halo
+        # over-fetch + 27 small-N matmuls per tile keep it under the
+        # 191 measured MXU peak). The round-5 stage ablation
+        # (tools/bench_vae_stream_decomp.py) measured the conv tower
+        # alone at 7.03 s of the 7.63 s stream decode — matching this
+        # ceiling (879 TF / 125 TF/s = 7.0 s); attention 0.10 s,
+        # GroupNorm+SiLU 0.48 s, carried history ~0.
+        "achievable_s": flops / 125e12,
     }
 
 
