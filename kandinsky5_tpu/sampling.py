@@ -197,6 +197,12 @@ def _dit_call(params, spec: DenoiseSpec, sparse, grid, model_in, text_i,
     return pred.astype(jnp.float32), residual_i
 
 
+def _progress_print(i, n):
+    print(f"\rdenoise step {int(i)}/{int(n)}", end="", flush=True)
+    if int(i) == int(n):
+        print(flush=True)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spec",),
@@ -222,7 +228,8 @@ def denoise_span(
     (k,) slices of the full grid), the incoming MagCache residual and
     the matching (k, 2) skip slice arrive as arguments and the carried
     residual is returned — the building block for the chunked /
-    preemption-resumable path (utils/resume.py).
+    preemption-resumable path (utils/resume.py) and the per-step
+    progress loop (:func:`generate_latents` ``progress=True``).
     """
     cfg = spec.dit_params
     use_cfg = spec.use_cfg
@@ -425,6 +432,30 @@ def generate_latents(
     if host_loop:
         return denoise_host_loop(params, spec, noise, cond, uncond, skip,
                                  progress=progress)
+    if progress:
+        # per-step reporting (reference tqdm, generation_utils.py:105):
+        # drive the schedule as length-1 ``denoise_span`` chunks from the
+        # host — bitwise-identical to the fused scan (the resume tests
+        # assert exact chunked==fused equality) and backend-safe: device
+        # host-callbacks (jax.debug.callback) hang on the tunneled axon
+        # TPU service, so progress must come from the host side.
+        cfg = spec.dit_params
+        pdtype = params["visual_embeddings"]["in_layer"]["weight"].dtype
+        ts = timestep_grid(spec.num_steps, spec.scheduler_scale)
+        b_eff, seq_len = denoise_residual0(spec, noise.shape)
+        residual = jnp.zeros((b_eff, seq_len, cfg.model_dim), pdtype)
+        x = noise
+        dts = np.diff(ts)
+        for i in range(spec.num_steps):
+            x, residual = denoise_span(
+                params, spec, x, residual,
+                jnp.asarray(ts[i:i + 1]), jnp.asarray(dts[i:i + 1]),
+                cond["text_embeds"], cond["pooled_embed"], cond["mask"],
+                uncond["text_embeds"], uncond["pooled_embed"],
+                uncond["mask"], jnp.asarray(skip[i:i + 1]))
+            x.block_until_ready()
+            _progress_print(i + 1, spec.num_steps)
+        return x
     return denoise(
         params, spec, noise,
         cond["text_embeds"], cond["pooled_embed"], cond["mask"],
