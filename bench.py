@@ -1133,11 +1133,13 @@ def bench_nabla10s_density(extra, targets=(0.05, 0.10, 0.15, 0.20, 0.25),
     # died; points after the first now cost ~1 pair each)
     sta_j = jnp.asarray(sta)
 
+    # params passed as an ARGUMENT: closing over them captures 4 GB of
+    # constants into the lowering (measured warning + slow compile)
     @jax.jit
-    def fwd(gmask, kv_inds, kv_nb):
+    def fwd(p, gmask, kv_inds, kv_nb):
         shared = NablaMask(gmask, kv_inds, kv_nb, q_rows)
         sp = SparseParams(sta=sta_j, P=0.9, shared=shared)
-        return dit_forward(params, cfg, x, te, pe, t_arr,
+        return dit_forward(p, cfg, x, te, pe, t_arr,
                            text_mask=mask, attn_impl="auto", sparse=sp)
 
     def build_mask(target):
@@ -1160,7 +1162,7 @@ def bench_nabla10s_density(extra, targets=(0.05, 0.10, 0.15, 0.20, 0.25),
 
     def pair(margs):
         for _ in range(2):  # cond + uncond sequential forwards
-            _sync_scalar(fwd(*margs))
+            _sync_scalar(fwd(params, *margs))
 
     table = {}
     compiled = False
@@ -1190,7 +1192,10 @@ def bench_nabla10s_density(extra, targets=(0.05, 0.10, 0.15, 0.20, 0.25),
               f"(incl. {t_build:.2f}s shared mask build)", file=sys.stderr)
         gc.collect()
 
-    extra["10s_density_pair_seconds"] = table
+    if table:
+        # only publish a non-empty table: an all-points-skipped run must
+        # not clobber a carried measured table in the merge
+        extra["10s_density_pair_seconds"] = table
     fit = None
     if len(table) >= 2:
         ds = np.array([float(k) for k in table])
@@ -1414,14 +1419,20 @@ def project_v5e8(extra, src=None):
     if worst:
         _, e2e_w = e2e_10s(worst)
         extra["v5e8_10s_e2e_worstcase_s"] = round(e2e_w, 1)
-    print(f"# v5e-8 projection: e2e {extra.get('v5e8_e2e_s')}s "
-          f"(denoise {extra.get('v5e8_denoise_s')}s = 16 x "
-          f"[att {extra.get('v5e8_attention_s_per_nfe')} + lin "
-          f"{extra.get('v5e8_linear_s_per_nfe')} + coll "
-          f"{extra.get('v5e8_collectives_s_per_nfe')}], text "
-          f"{extra.get('v5e8_text_s')}s, vae {extra.get('v5e8_vae_s')}s); "
-          f"10s e2e {extra.get('v5e8_10s_e2e_s')}s "
-          f"(worst-case {extra.get('v5e8_10s_e2e_worstcase_s')}s)",
+    def g(k):
+        # a key not recomputed this run may still be carried in the
+        # merged record — print the value the artifact will contain
+        v = extra.get(k)
+        return src.get(k) if v is None else v
+
+    print(f"# v5e-8 projection: e2e {g('v5e8_e2e_s')}s "
+          f"(denoise {g('v5e8_denoise_s')}s = 16 x "
+          f"[att {g('v5e8_attention_s_per_nfe')} + lin "
+          f"{g('v5e8_linear_s_per_nfe')} + coll "
+          f"{g('v5e8_collectives_s_per_nfe')}], text "
+          f"{g('v5e8_text_s')}s, vae {g('v5e8_vae_s')}s); "
+          f"10s e2e {g('v5e8_10s_e2e_s')}s "
+          f"(worst-case {g('v5e8_10s_e2e_worstcase_s')}s)",
           file=sys.stderr)
 
 
@@ -1451,12 +1462,20 @@ def emit_sol_fractions(extra, src=None):
     impl = src.get("denoise_attn_impl", "auto")
     dn_floor = (dn["floor_int8qk_s_per_nfe"] if impl == "flash_int8"
                 else dn["floor_bf16_s_per_nfe"]) * rf.NFE
+    dn_ach = (dn["achievable_int8qk_s_per_nfe"] if impl == "flash_int8"
+              else dn["achievable_bf16_s_per_nfe"]) * rf.NFE
     out = {
         "sol_denoise": frac(dn_floor, "denoise_s"),
         "sol_denoise_bf16": frac(dn["floor_bf16_s_per_nfe"] * rf.NFE,
                                  "denoise_bf16_s"),
         "sol_vae_stream": frac(vae["floor_s"], "vae_s"),
         "sol_text_expand": frac(txt["expand_floor_s"], "text_expand_s"),
+        # fraction of the ACHIEVABLE ceiling (measured v5e MXU rates +
+        # measured conv-tower sustained rate, tools/roofline.py) — the
+        # spec-peak floors above are unreachable by construction; these
+        # say how much of the reachable gap remains
+        "sol_denoise_achievable": frac(dn_ach, "denoise_s"),
+        "sol_vae_achievable": frac(vae["achievable_s"], "vae_s"),
     }
     extra.update({k: v for k, v in out.items() if v is not None})
 
@@ -1585,7 +1604,11 @@ def main():
     _extra_stage("vae_probe", 280, bench_vae_probe, extra, latents, extra)
     _extra_stage("shard_compute", 220, bench_shard_compute, extra, extra)
     if "--no-nabla10s" not in sys.argv:
-        _extra_stage("nabla10s_density", 300, bench_nabla10s_density,
+        # 430 = measured setup (params + 2 mask builds, ~150 s) + first
+        # point compile (~120 s) + per-point reserve — the r5 rehearsal
+        # entered at 304 s, burned the setup, then had to skip every
+        # point; entering without room for the first point is pure waste
+        _extra_stage("nabla10s_density", 430, bench_nabla10s_density,
                      extra, extra)
     _extra_stage("vae_int8", 240, bench_vae_int8, extra, latents, extra)
     _extra_stage("magcache", 320, bench_magcache, extra, extra)
