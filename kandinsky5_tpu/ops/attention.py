@@ -61,6 +61,17 @@ def _attention_local(q, k, v, kv_mask, impl):
     opt-in accuracy trade (see flash_pallas._pack_int8)."""
     if impl == "dense":
         return dense_attention(q, k, v, kv_mask=kv_mask)
+    if (k.shape[1] <= 512 and q.shape[1] >= 4 * k.shape[1]
+            and os.environ.get("KANDINSKY5_TPU_DENSE_CROSS") != "0"):
+        # short-KV cross-attention (e.g. 47616 visual queries against
+        # 256 text keys): the flash kernel's KV tiling wastes the MXU
+        # here — measured 53.9 TF/s vs 61.7 dense at the 5s block shape
+        # (tools/bench_block_decomp.py) — and the int8-QK variant would
+        # quantize a 0.35 TF op for nothing. The dense einsum is the
+        # same exact-softmax computation (not an approximation); the
+        # lq >= 4*lk guard keeps text SELF-attention (lq == lk) on the
+        # kernel path.
+        return dense_attention(q, k, v, kv_mask=kv_mask)
     from kandinsky5_tpu.ops.flash_pallas import flash_attention, flash_supported
 
     int8_qk = impl == "flash_int8" or bool(os.environ.get(
