@@ -569,10 +569,14 @@ def bench_denoise_faithful(quick, extra, latents_int8, budget_all_int8,
     else:
         spec_bf = dataclasses.replace(spec0, attn_impl="auto")
         lat_bf = measure(spec_bf, "bf16 faithful 4-step", "denoise_bf16_s")
-        # the int8 span re-runs the ALREADY-COMPILED headline fn: it is
-        # both the PSNR counterpart (same 4-step trajectory) and the
-        # environment-drift probe (divergence from the headline per-NFE
-        # means the machine changed mid-run, not the code)
+        # the int8 span is both the PSNR counterpart (same 4-step
+        # trajectory) and the environment-drift probe (divergence from
+        # the headline per-NFE means the machine changed mid-run, not
+        # the code). An UN-timed warm call first: bench_vae_int8 runs
+        # earlier in the round-5 order and calls jax.clear_caches()
+        # around its env flip, so the first span here pays retrace +
+        # cache load — timing that would misread as drift
+        _ = run(spec0, chunks=1)
         t0 = time.perf_counter()
         lat_i8 = run(spec0, chunks=1)
         t_re = time.perf_counter() - t0
@@ -1192,9 +1196,12 @@ def bench_nabla10s_density(extra, targets=(0.05, 0.10, 0.15, 0.20, 0.25),
               f"(incl. {t_build:.2f}s shared mask build)", file=sys.stderr)
         gc.collect()
 
-    if table:
-        # only publish a non-empty table: an all-points-skipped run must
-        # not clobber a carried measured table in the merge
+    if len(table) >= 2:
+        # publish only a table that can also refresh the fit below: a
+        # 0- or 1-point run must not clobber a carried multi-point
+        # table while the carried fit (computed from the old table)
+        # survives the merge — that would leave a fit whose supporting
+        # points no longer exist in the artifact
         extra["10s_density_pair_seconds"] = table
     fit = None
     if len(table) >= 2:

@@ -61,17 +61,6 @@ def _attention_local(q, k, v, kv_mask, impl):
     opt-in accuracy trade (see flash_pallas._pack_int8)."""
     if impl == "dense":
         return dense_attention(q, k, v, kv_mask=kv_mask)
-    if (k.shape[1] <= 512 and q.shape[1] >= 4 * k.shape[1]
-            and os.environ.get("KANDINSKY5_TPU_DENSE_CROSS") != "0"):
-        # short-KV cross-attention (e.g. 47616 visual queries against
-        # 256 text keys): the flash kernel's KV tiling wastes the MXU
-        # here — measured 53.9 TF/s vs 61.7 dense at the 5s block shape
-        # (tools/bench_block_decomp.py) — and the int8-QK variant would
-        # quantize a 0.35 TF op for nothing. The dense einsum is the
-        # same exact-softmax computation (not an approximation); the
-        # lq >= 4*lk guard keeps text SELF-attention (lq == lk) on the
-        # kernel path.
-        return dense_attention(q, k, v, kv_mask=kv_mask)
     from kandinsky5_tpu.ops.flash_pallas import flash_attention, flash_supported
 
     int8_qk = impl == "flash_int8" or bool(os.environ.get(
@@ -162,6 +151,22 @@ def attention(
     """
     from kandinsky5_tpu.parallel.sharding import active_mesh
 
+    if (impl != "dense" and k.shape[1] <= 512
+            and q.shape[1] >= 4 * k.shape[1]
+            and os.environ.get("KANDINSKY5_TPU_DENSE_CROSS") != "0"):
+        # short-KV cross-attention (e.g. 47616 visual queries against
+        # 256 text keys): the flash kernel's KV tiling wastes the MXU
+        # here — measured 53.9 TF/s vs 61.7 dense at the 5s block shape
+        # (tools/bench_block_decomp.py) — and the int8-QK variant would
+        # quantize a 0.35 TF op for nothing. The dense einsum is the
+        # same exact-softmax computation (not an approximation); the
+        # lq >= 4*lk guard keeps text SELF-attention (lq == lk) on the
+        # kernel path. Decided HERE on the GLOBAL shapes — never inside
+        # the shard_map body — so a mesh and a single device always run
+        # the same algorithm for the same logical call (the einsums are
+        # plain XLA ops GSPMD partitions on its own); _attention_local
+        # stays kernel-pure for explicit kernel tests.
+        impl = "dense"
     mesh = active_mesh()
     if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
         return _sharded_attention(q, k, v, kv_mask, impl, mesh)

@@ -395,10 +395,7 @@ def denoise_host_loop(
         x.block_until_ready()
         if progress:
             # per-step reporting (reference tqdm, generation_utils.py:105)
-            print(f"\rdenoise step {i + 1}/{spec.num_steps}", end="",
-                  flush=True)
-    if progress:
-        print()
+            _progress_print(i + 1, spec.num_steps)
     return x
 
 

@@ -84,11 +84,15 @@ def make_batch(key, b, text_c, pooled_c):
     """Smooth 'video' latents: coarse noise trilinearly upsampled (strong
     local correlation -> the denoiser learns local attention) + a
     class-conditioned DC component (so cross-attention matters)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2 = jax.random.split(key, 2)
     coarse = jax.random.normal(k1, (b, 3, 3, 5, 16), jnp.float32)
     x0 = jax.image.resize(coarse, (b, *LAT, 16), method="linear") * 1.6
     cls = jax.random.randint(k2, (b,), 0, N_CLASSES)
-    dc = jax.random.normal(k3, (N_CLASSES, 1, 1, 1, 16), jnp.float32) * 0.0
+    # class-conditioned DC (FIXED per class, not per batch, so it is
+    # learnable) — the denoising target depends on the text condition,
+    # so cross-attention carries real information
+    dc = jnp.asarray(np.random.RandomState(13).randn(
+        N_CLASSES, 1, 1, 1, 16), jnp.float32) * 0.8
     x0 = x0 + dc[cls].astype(jnp.float32)
     return x0, text_c[cls], pooled_c[cls], cls
 
@@ -200,14 +204,17 @@ def sample_latents(params, conds, attn_impl, seed=11, steps=16,
                    jnp.zeros_like(te), jnp.zeros_like(pe), mask, skip)
 
 
-def psnr(a, b):
-    a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
-    mse = np.mean((a - b) ** 2)
-    if mse == 0:
-        return float("inf")
-    peak = max(np.abs(a).max(), 1e-9)
-    return float(20 * np.log10(peak) - 10 * np.log10(mse))
+def psnr(got, ref):
+    """Range-based PSNR, the SAME convention as bench.py's latent
+    PSNRs (utils/metrics.psnr with max_val = ref range) so the proxy's
+    dB numbers are directly comparable to the bench keys they are
+    cited alongside (the previous max|a| convention read ~6 dB lower
+    for zero-mean latents)."""
+    from kandinsky5_tpu.utils.metrics import psnr as _psnr
+
+    ref = np.asarray(ref, np.float32)
+    rng = max(float(ref.max() - ref.min()), 1e-6)
+    return float(_psnr(np.asarray(got, np.float32), ref, max_val=rng))
 
 
 def vae_stream_probe(latents):
@@ -323,8 +330,8 @@ def main(argv=None):
         lat_int8 = sample_latents(params, conds, "flash_int8")
         lat_all8 = sample_latents(params, conds, "flash_int8",
                                   int8_linear=True)
-        res["int8qk_psnr_db"] = psnr(lat_bf16, lat_int8)
-        res["allint8_psnr_db"] = psnr(lat_bf16, lat_all8)
+        res["int8qk_psnr_db"] = psnr(lat_int8, lat_bf16)
+        res["allint8_psnr_db"] = psnr(lat_all8, lat_bf16)
         print(f"  int8-QK vs bf16 latent PSNR: "
               f"{res['int8qk_psnr_db']:.1f} dB", flush=True)
         print(f"  all-int8 vs bf16 latent PSNR: "
