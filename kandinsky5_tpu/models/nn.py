@@ -258,13 +258,80 @@ def modulation(p, time_embed: Array) -> Array:
 
 def feed_forward(p, x: Array) -> Array:
     """Linear -> exact GELU -> Linear, bf16, no biases (reference
-    FeedForward, nn.py:352-361). Hidden activations shard over tp."""
-    from kandinsky5_tpu.parallel.sharding import constrain
+    FeedForward, nn.py:352-361). Hidden activations shard over tp.
+
+    On TPU, large bf16 blocks route to the fused Pallas kernel
+    (ops/ff_pallas.py: hidden tile stays in VMEM, 155 vs 126 TF/s at
+    the 5s block shape; opt out KANDINSKY5_TPU_FUSED_FF=0). Under an
+    active tp mesh the fused path runs as the standard Megatron
+    decomposition via shard_map — column-parallel W1, row-parallel W2,
+    psum over tp — the same collective GSPMD inserts for the XLA chain,
+    decided here on GLOBAL shapes so mesh and single chip always run
+    the same algorithm for the same logical call."""
+    import os
+
+    from kandinsky5_tpu.parallel.sharding import active_mesh, constrain
+
+    flag = os.environ.get("KANDINSKY5_TPU_FUSED_FF", "")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if ("weight" in p["in_layer"] and "bias" not in p["in_layer"]
+            and "weight" in p["out_layer"] and flag != "0"
+            and (on_tpu or flag == "force")):
+        from kandinsky5_tpu.ops.ff_pallas import ff_supported, fused_ff
+
+        w1 = p["in_layer"]["weight"]
+        w2 = p["out_layer"]["weight"]
+        mesh = active_mesh()
+        if mesh is None or int(np.prod(list(mesh.shape.values()))) == 1:
+            if ff_supported(x, w1, w2):
+                return fused_ff(x, w1, w2, interpret=not on_tpu)
+        else:
+            y = _sharded_fused_ff(x, w1, w2, mesh)
+            if y is not None:
+                return y
 
     h = linear(p["in_layer"], x)
     h = constrain(h, "dp", None, "tp")
     h = jax.nn.gelu(h, approximate=False)
     return linear(p["out_layer"], h)
+
+
+def _sharded_fused_ff(x: Array, w1: Array, w2: Array, mesh) -> Array | None:
+    """Megatron FF over the mesh with the fused kernel per shard, or
+    None when the decomposition does not apply (the caller falls back
+    to the GSPMD XLA chain)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kandinsky5_tpu.ops.ff_pallas import ff_supported, fused_ff
+
+    b, l, d = x.shape
+    ff = w1.shape[1]
+    shape = dict(mesh.shape)
+    tp_n = shape.get("tp", 1)
+    if tp_n <= 1 or ff % tp_n:
+        return None
+    dp = "dp" if shape.get("dp", 1) > 1 and b % shape["dp"] == 0 else None
+    sp_n = shape.get("sp", 1)
+    sp = "sp" if sp_n > 1 and l % sp_n == 0 else None
+    x_local = jax.ShapeDtypeStruct(
+        (b // (shape["dp"] if dp else 1),
+         l // (sp_n if sp else 1), d), x.dtype)
+    w1_local = jax.ShapeDtypeStruct((d, ff // tp_n), w1.dtype)
+    w2_local = jax.ShapeDtypeStruct((ff // tp_n, d), w2.dtype)
+    if not ff_supported(x_local, w1_local, w2_local):
+        return None
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def body(x_l, w1_l, w2_l):
+        y = fused_ff(x_l, w1_l, w2_l, interpret=interpret)
+        return jax.lax.psum(y, "tp")
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(dp, sp, None), P(None, "tp"), P("tp", None)),
+        out_specs=P(dp, sp, None), check_rep=False,
+    )(x, w1, w2)
 
 
 def qkv_proj(p, x: Array, num_heads: int) -> Tuple[Array, Array, Array]:
