@@ -34,7 +34,7 @@ from kandinsky5_tpu.models.nn import (
     apply_gate_sum,
     apply_rotary,
     apply_scale_shift_norm,
-    feed_forward,
+    modulated_feed_forward,
     linear,
     modulation,
     qkv_proj,
@@ -130,9 +130,8 @@ def text_encoder_block(p, x: Array, time_embed: Array, rope, kv_mask,
                           attn_impl, sparse=None)
     x = apply_gate_sum(x, out, gate_sa)
 
-    out = apply_scale_shift_norm(x, scale_ff, shift_ff)
-    out = feed_forward(p["feed_forward"], out)
-    return apply_gate_sum(x, out, gate_ff)
+    return modulated_feed_forward(p["feed_forward"], x,
+                                  scale_ff, shift_ff, gate_ff)
 
 
 def visual_decoder_block(p, visual: Array, text: Array, time_embed: Array,
@@ -155,9 +154,8 @@ def visual_decoder_block(p, visual: Array, text: Array, time_embed: Array,
                            kv_mask=text_mask, attn_impl=attn_impl)
     visual = apply_gate_sum(visual, out, gate_ca)
 
-    out = apply_scale_shift_norm(visual, scale_ff, shift_ff)
-    out = feed_forward(p["feed_forward"], out)
-    return apply_gate_sum(visual, out, gate_ff)
+    return modulated_feed_forward(p["feed_forward"], visual,
+                                  scale_ff, shift_ff, gate_ff)
 
 
 # ---------------------------------------------------------------------------

@@ -296,6 +296,41 @@ def feed_forward(p, x: Array) -> Array:
     return linear(p["out_layer"], h)
 
 
+def modulated_feed_forward(p, x: Array, scale: Array, shift: Array,
+                           gate: Array) -> Array:
+    """The per-block FF sandwich — apply_scale_shift_norm -> feed_forward
+    -> apply_gate_sum — as one logical op. On single-chip TPU the whole
+    sandwich runs inside the fused Pallas kernel (ops/ff_pallas.py
+    fused_ff_modulated): the normed input and the gated output never
+    round-trip HBM. scale/shift/gate: (B, 1, D) from _mod_params."""
+    import os
+
+    from kandinsky5_tpu.parallel.sharding import active_mesh
+
+    flag = os.environ.get("KANDINSKY5_TPU_FUSED_FF", "")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if ("weight" in p["in_layer"] and "bias" not in p["in_layer"]
+            and "weight" in p["out_layer"] and flag != "0"
+            and (on_tpu or flag == "force")):
+        from kandinsky5_tpu.ops.ff_pallas import (ff_supported,
+                                                  fused_ff_modulated)
+
+        w1 = p["in_layer"]["weight"]
+        w2 = p["out_layer"]["weight"]
+        mesh = active_mesh()
+        if ((mesh is None
+             or int(np.prod(list(mesh.shape.values()))) == 1)
+                and ff_supported(x, w1, w2)
+                and scale.shape == (x.shape[0], 1, x.shape[-1])):
+            return fused_ff_modulated(
+                x, scale[:, 0], shift[:, 0], w1, w2, gate[:, 0],
+                use_gate=True, interpret=not on_tpu)
+
+    out = apply_scale_shift_norm(x, scale, shift)
+    out = feed_forward(p, out)
+    return apply_gate_sum(x, out, gate)
+
+
 def _sharded_fused_ff(x: Array, w1: Array, w2: Array, mesh) -> Array | None:
     """Megatron FF over the mesh with the fused kernel per shard, or
     None when the decomposition does not apply (the caller falls back

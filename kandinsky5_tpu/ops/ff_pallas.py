@@ -66,6 +66,48 @@ def _ff_kernel(x_ref, w1_ref, w2_ref, o_ref, acc_ref):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _ff_mod_kernel(x_ref, sc_ref, sh_ref, g_ref, w1_ref, w2_ref,
+                   o_ref, acc_ref, xn_ref, *, ln_eps: float, gate: bool):
+    """Modulated FF: AdaLN scale-shift-norm folded into the input map
+    (computed once per row tile, reused across ff chunks) and the
+    gate+residual folded into the epilogue — the normed and gated
+    activations never round-trip HBM (models/nn.py apply_scale_shift_
+    norm / apply_gate_sum; reference nn.py:25-33)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _norm():
+        xf = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+        y = y * (sc_ref[...].astype(jnp.float32) + 1.0) \
+            + sh_ref[...].astype(jnp.float32)
+        xn_ref[...] = y.astype(xn_ref.dtype)
+
+    h = jnp.dot(xn_ref[...], w1_ref[...],
+                preferred_element_type=jnp.float32)
+    h = _gelu_exact_f32(h).astype(xn_ref.dtype)
+    part = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _acc():
+        acc_ref[...] += part
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _emit():
+        if gate:
+            o_ref[0] = (x_ref[0].astype(jnp.float32)
+                        + g_ref[...].astype(jnp.float32) * acc_ref[...]
+                        ).astype(o_ref.dtype)
+        else:
+            o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _pick_bf(ff: int) -> int:
     """Largest divisor of ff that is <= _BF_TARGET and lane-aligned."""
     for bf in range(min(_BF_TARGET, ff), 127, -128):
@@ -132,3 +174,60 @@ def fused_ff(x: Array, w1: Array, w2: Array, *,
     if pad:
         out = out[:rows]
     return out.reshape(*lead, d)
+
+
+# torch.nn.LayerNorm default eps — must match models/nn.py LAYERNORM_EPS.
+_LN_EPS = 1e-5
+
+
+@functools.partial(jax.jit, static_argnames=("use_gate", "interpret"))
+def fused_ff_modulated(x: Array, scale: Array, shift: Array,
+                       w1: Array, w2: Array, gate: Array = None, *,
+                       use_gate: bool = True,
+                       interpret: bool = False) -> Array:
+    """AdaLN-modulated FF in one kernel:
+
+        y = x + gate * [ gelu(ssn(x, scale, shift) @ w1) @ w2 ]
+
+    (or just the bracketed FF of the normed input when use_gate=False —
+    the tp-mesh path psums partials before applying the gate outside).
+    x: (B, L, D); scale/shift/gate: (B, D) broadcast over L.
+    """
+    b, l, d = x.shape
+    ff = w1.shape[1]
+    bf = _pick_bf(ff)
+    pad = (-l) % _BS
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((b, pad, d), x.dtype)], axis=1)
+    if gate is None:
+        gate = jnp.zeros((b, d), jnp.float32)
+    grid = (b, x.shape[1] // _BS, ff // bf)
+    out = pl.pallas_call(
+        functools.partial(_ff_mod_kernel, ln_eps=_LN_EPS, gate=use_gate),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, _BS, d), lambda b_, i, j: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, d), lambda b_, i, j: (b_, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, d), lambda b_, i, j: (b_, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, d), lambda b_, i, j: (b_, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((d, bf), lambda b_, i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((bf, d), lambda b_, i, j: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _BS, d), lambda b_, i, j: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, x.shape[1], d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((_BS, d), jnp.float32),
+                        pltpu.VMEM((_BS, d), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, scale, shift, gate, w1, w2)
+    if pad:
+        out = out[:, :l]
+    return out

@@ -88,6 +88,58 @@ def test_feed_forward_routes_fused(monkeypatch):
     _assert_close(out, ref)
 
 
+def test_fused_ff_modulated_interpret_matches_composition():
+    """ssn -> FF -> gate+residual fused in-kernel == the XLA
+    composition (apply_scale_shift_norm / feed_forward /
+    apply_gate_sum) at bf16 tolerance, including the padded-rows path."""
+    from kandinsky5_tpu.models.nn import (apply_gate_sum,
+                                          apply_scale_shift_norm)
+    from kandinsky5_tpu.ops.ff_pallas import fused_ff_modulated
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    b, l, d, ff = 2, 600, 256, 1024
+    x = jax.random.normal(ks[0], (b, l, d), BF)
+    w1 = jax.random.normal(ks[1], (d, ff), BF) * 0.05
+    w2 = jax.random.normal(ks[2], (ff, d), BF) * 0.05
+    scale = jax.random.normal(ks[3], (b, 1, d), jnp.float32) * 0.1
+    shift = jax.random.normal(ks[4], (b, 1, d), jnp.float32) * 0.1
+    gate = jax.random.normal(ks[5], (b, 1, d), jnp.float32)
+
+    xn = apply_scale_shift_norm(x, scale, shift)
+    h = jnp.dot(xn, w1, preferred_element_type=jnp.float32).astype(BF)
+    h = jax.nn.gelu(h, approximate=False)
+    y = jnp.dot(h, w2, preferred_element_type=jnp.float32).astype(BF)
+    ref = apply_gate_sum(x, y, gate)
+
+    out = fused_ff_modulated(x, scale[:, 0], shift[:, 0], w1, w2,
+                             gate[:, 0], interpret=True)
+    assert out.shape == ref.shape
+    _assert_close(out, ref)
+
+    # use_gate=False returns the bare FF of the normed input (mesh path)
+    out_ng = fused_ff_modulated(x, scale[:, 0], shift[:, 0], w1, w2,
+                                use_gate=False, interpret=True)
+    _assert_close(out_ng, y)
+
+
+def test_modulated_feed_forward_routes(monkeypatch):
+    from kandinsky5_tpu.models.nn import modulated_feed_forward
+
+    ks = jax.random.split(jax.random.PRNGKey(8), 6)
+    b, l, d, ff = 1, 512, 256, 1024
+    x = jax.random.normal(ks[0], (b, l, d), BF)
+    p = {"in_layer": {"weight": jax.random.normal(ks[1], (d, ff), BF) * 0.05},
+         "out_layer": {"weight": jax.random.normal(ks[2], (ff, d), BF) * 0.05}}
+    scale = jax.random.normal(ks[3], (b, 1, d), jnp.float32) * 0.1
+    shift = jax.random.normal(ks[4], (b, 1, d), jnp.float32) * 0.1
+    gate = jax.random.normal(ks[5], (b, 1, d), jnp.float32)
+    monkeypatch.setenv("KANDINSKY5_TPU_FUSED_FF", "0")
+    ref = modulated_feed_forward(p, x, scale, shift, gate)
+    monkeypatch.setenv("KANDINSKY5_TPU_FUSED_FF", "force")
+    out = modulated_feed_forward(p, x, scale, shift, gate)
+    _assert_close(out, ref)
+
+
 def test_sharded_fused_ff_matches_single_device():
     """Megatron decomposition (col-parallel W1, row-parallel W2, psum
     over tp) on the virtual mesh == single-device kernel output."""
